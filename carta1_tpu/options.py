@@ -1,0 +1,99 @@
+"""Encoder configuration (parity: codec/core/options.js).
+
+Same four fields, defaults, ranges and validation as the reference.  The
+object is hashable and immutable after construction so it can be passed as a
+static argument to jitted functions.
+
+Reference quirk, kept for output comparability: the encoder reads only
+`transient_threshold_low` for all three bands (encoder.js:134).  Setting
+``per_band_thresholds=True`` honors the mid/high thresholds instead; this is
+an extension flag, off by default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+OPTION_METADATA = {
+    "transient_threshold_low": {
+        "default": 1.0,
+        "name": "Low Band Transient Threshold",
+        "description": (
+            "Controls the transient detection threshold for the low frequency "
+            "band (0-5.5kHz). Lower values make detection more sensitive, "
+            "triggering short blocks more easily."
+        ),
+        "range": (0.01, 2.0),
+        "step": 0.01,
+    },
+    "transient_threshold_mid": {
+        "default": 1.5,
+        "name": "Mid Band Transient Threshold",
+        "description": (
+            "Controls the transient detection threshold for the mid frequency "
+            "band (5.5-11kHz)."
+        ),
+        "range": (0.01, 3.0),
+        "step": 0.01,
+    },
+    "transient_threshold_high": {
+        "default": 2.0,
+        "name": "High Band Transient Threshold",
+        "description": (
+            "Controls the transient detection threshold for the high frequency "
+            "band (11-22kHz)."
+        ),
+        "range": (0.01, 4.0),
+        "step": 0.01,
+    },
+    "allocation_bias": {
+        "default": 1.0,
+        "name": "Bit allocation bias",
+        "description": (
+            "Controls how bits are distributed across the frequency spectrum "
+            "during allocation. Higher values focus more bits on loud "
+            "spectral components."
+        ),
+        "range": (0.5, 3.0),
+        "step": 0.01,
+    },
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderOptions:
+    transient_threshold_low: float = 1.0
+    transient_threshold_mid: float = 1.5
+    transient_threshold_high: float = 2.0
+    allocation_bias: float = 1.0
+    per_band_thresholds: bool = False  # extension; reference behavior is False
+
+    def __post_init__(self) -> None:
+        for key, meta in OPTION_METADATA.items():
+            value = getattr(self, key)
+            lo, hi = meta["range"]
+            if not (lo <= value <= hi):
+                raise ValueError(
+                    f"Value for {key} must be between {lo} and {hi}, got {value}"
+                )
+
+    def replace(self, **kwargs) -> "EncoderOptions":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_dict(self) -> dict:
+        return {k: getattr(self, k) for k in OPTION_METADATA}
+
+    @staticmethod
+    def metadata(key: str) -> dict:
+        return OPTION_METADATA[key]
+
+    @property
+    def band_thresholds(self) -> tuple[float, float, float]:
+        """Effective per-band thresholds given the compat flag."""
+        if self.per_band_thresholds:
+            return (
+                self.transient_threshold_low,
+                self.transient_threshold_mid,
+                self.transient_threshold_high,
+            )
+        return (self.transient_threshold_low,) * 3
