@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax.tree_util
 import numpy as np
 
 from carta1_tpu.constants import MAX_BFU_SIZE, NUM_BFUS
@@ -62,6 +63,10 @@ class FrameData:
         )
 
     @staticmethod
+    def fields() -> tuple[str, ...]:
+        return ("n_bfu", "block_modes", "scale_factors", "word_lengths", "quantized")
+
+    @staticmethod
     def concatenate(parts: list["FrameData"]) -> "FrameData":
         return FrameData(
             n_bfu=np.concatenate([p.n_bfu for p in parts]),
@@ -70,3 +75,10 @@ class FrameData:
             word_lengths=np.concatenate([p.word_lengths for p in parts]),
             quantized=np.concatenate([p.quantized for p in parts]),
         )
+
+
+jax.tree_util.register_pytree_node(
+    FrameData,
+    lambda fd: ((fd.n_bfu, fd.block_modes, fd.scale_factors, fd.word_lengths, fd.quantized), None),
+    lambda _, children: FrameData(*children),
+)

@@ -159,3 +159,54 @@ def allocate_bits(bfu_data: np.ndarray, bfu_sizes: np.ndarray, allocation_bias: 
     for f in range(nframes):
         wl[f], sf[f] = allocate_bits_frame(bfu_data[f], bfu_sizes, allocation_bias)
     return wl, sf
+
+
+def allocate_bits_sweep(sf_table: np.ndarray, bfu_sizes: np.ndarray, allocation_bias: float) -> np.ndarray:
+    """Deterministic sorted-sweep formulation of the greedy RDO -- the spec
+    the TPU allocator (ops/bitalloc.py) implements.
+
+    Identical to the reference heap except on exact priority ties (the
+    scale-factor grid makes P ratios powers of 2^(1/3), so ties are common):
+    the heap breaks them in heap-array order, the sweep in (bfu, wl) order.
+    Both spend the same budget at the same marginal distortion, so encode
+    quality is unchanged.
+
+    sf_table: int32 [F, 52] -> word_lengths int32 [F, 52].
+    """
+    nframes = sf_table.shape[0]
+    wlb = WORD_LENGTH_BITS.astype(np.int64)
+    budget = FRAME_BITS - FRAME_OVERHEAD_BITS - NUM_BFUS * BITS_PER_BFU_METADATA
+
+    wl_steps = np.arange(15)
+    gain = np.where(wlb[wl_steps] == 0, 2.0, INV_POWER_OF_TWO[wlb[wl_steps]])
+    gain = (gain - INV_POWER_OF_TWO[wlb[wl_steps + 1]]) / (wlb[wl_steps + 1] - wlb[wl_steps])
+    cand_bfu = np.repeat(np.arange(NUM_BFUS), 15)
+    cand_wl = np.tile(wl_steps, NUM_BFUS)
+    cand_cost = (wlb[cand_wl + 1] - wlb[cand_wl]) * bfu_sizes[cand_bfu]
+
+    # f32 priorities, matching the device allocator bit-for-bit.  Many
+    # priorities are mathematically equal (scale factors 3k indices apart are
+    # exactly 2^k x); f64 table noise breaks those ties arbitrarily while f32
+    # restores them, so the spec pins the device's precision.
+    sf = (SCALE_FACTORS.astype(np.float32)[sf_table].astype(np.float32) ** np.float32(allocation_bias)).astype(np.float32)
+    prio = (sf[:, cand_bfu] * gain.astype(np.float32)[cand_wl]).astype(np.float32)
+    valid = (sf_table[:, cand_bfu] > 0) & (bfu_sizes[cand_bfu] > 0)
+
+    out = np.zeros((nframes, NUM_BFUS), np.int32)
+    for f in range(nframes):
+        order = np.argsort(-np.where(valid[f], prio[f], -np.inf), kind="stable")
+        remaining = budget
+        abandoned = np.zeros(NUM_BFUS, bool)
+        for c in order:
+            if not valid[f, c]:
+                continue
+            bfu = cand_bfu[c]
+            if abandoned[bfu]:
+                continue
+            cost = cand_cost[c]
+            if cost > remaining:
+                abandoned[bfu] = True
+                continue
+            remaining -= cost
+            out[f, bfu] += 1
+    return out

@@ -1,0 +1,81 @@
+"""TPU batched decoder pipeline.
+
+One jitted function turns quantized frame data into [F, 512] PCM:
+table-driven dequantization, gather-based coefficient scatter, IMDCT as
+basis matmuls with a 16-sample tail halo, QMF synthesis as batched convs.
+
+Reference pipeline: codec/pipeline/decoder.js:408-411.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carta1_tpu import constants as C
+from carta1_tpu.framedata import FrameData
+from carta1_tpu.ops.coding import dequantize, scatter_bfus
+from carta1_tpu.ops.mdct import decoder_imdct_band
+from carta1_tpu.ops.qmf import delay_stream, qmf_synthesis
+
+
+def decoder_init_state() -> dict[str, jnp.ndarray]:
+    """Zero stream state (same keys/shapes as gold.decoder_init_state)."""
+    return {
+        "tail0": jnp.zeros(C.MDCT_TAIL_WINDOW_SIZE, jnp.float32),
+        "tail1": jnp.zeros(C.MDCT_TAIL_WINDOW_SIZE, jnp.float32),
+        "tail2": jnp.zeros(C.MDCT_TAIL_WINDOW_SIZE, jnp.float32),
+        "synth_low_delay": jnp.zeros(C.QMF_DELAY, jnp.float32),
+        "synth_mid_delay": jnp.zeros(C.QMF_DELAY, jnp.float32),
+        "synth_high_delay": jnp.zeros(C.QMF_HIGH_BAND_DELAY, jnp.float32),
+    }
+
+
+def decode_step(fd: FrameData, state: dict) -> tuple[jnp.ndarray, dict]:
+    """Pure (trace-able) batched decode: FrameData -> (pcm [F, 512], state)."""
+    deq = dequantize(fd.quantized, fd.scale_factors, fd.word_lengths)
+    coeffs = scatter_bfus(deq, fd.block_modes, fd.n_bfu)  # [F, 512]
+
+    outs = []
+    new_tails = []
+    offset = 0
+    for b in range(3):
+        size = C.MDCT_BAND_SIZES[b]
+        out, tail = decoder_imdct_band(
+            coeffs[:, offset:offset + size], b, fd.block_modes[:, b], state[f"tail{b}"]
+        )
+        outs.append(out)
+        new_tails.append(tail)
+        offset += size
+
+    high_delayed, high_d = delay_stream(outs[2], state["synth_high_delay"])
+    stage2, mid_d = qmf_synthesis(outs[0], outs[1], state["synth_mid_delay"])
+    pcm, low_d = qmf_synthesis(stage2, high_delayed, state["synth_low_delay"])
+
+    new_state = {
+        "tail0": new_tails[0],
+        "tail1": new_tails[1],
+        "tail2": new_tails[2],
+        "synth_low_delay": low_d,
+        "synth_mid_delay": mid_d,
+        "synth_high_delay": high_d,
+    }
+    return pcm, new_state
+
+
+_decode_jit = jax.jit(decode_step)
+
+
+def decode_frames(fd: FrameData, state: dict | None = None) -> tuple[jnp.ndarray, dict]:
+    """Public entry: decode batched FrameData on the default JAX backend."""
+    if state is None:
+        state = decoder_init_state()
+    fd = FrameData(
+        n_bfu=jnp.asarray(np.asarray(fd.n_bfu, dtype=np.int32)),
+        block_modes=jnp.asarray(np.asarray(fd.block_modes, dtype=np.int32)),
+        scale_factors=jnp.asarray(np.asarray(fd.scale_factors, dtype=np.int32)),
+        word_lengths=jnp.asarray(np.asarray(fd.word_lengths, dtype=np.int32)),
+        quantized=jnp.asarray(np.asarray(fd.quantized, dtype=np.int32)),
+    )
+    return _decode_jit(fd, state)
