@@ -5,19 +5,24 @@ Exact reformulation of the reference's max-heap greedy
 
 Per BFU the step priorities sf^bias * (2^-b1 - 2^-b2)/db are strictly
 decreasing in word length, so the heap's pop order equals a single global
-descending-priority sweep over all 52x15 candidate steps.  The heap's
-"abandon on overflow" rule (a BFU whose next step doesn't fit is popped and
-never revisited while cheaper steps of other BFUs continue) becomes a
-masked-cumulative-sum fixpoint: find the first over-budget candidate in
-sorted order, kill that BFU's remaining candidates, repeat.  Each round
-abandons at least one BFU, so it converges in <= 52 rounds (typically 1-3);
-all rounds are O(F * 780) vector work batched over frames.
+descending-priority sweep over all 52x15 candidate steps, with the heap's
+"abandon on overflow" rule (a BFU whose next step doesn't fit is dropped and
+never revisited while cheaper steps of other BFUs continue).
+
+Implementation: argsort the 780 candidates by priority once, then run the
+sweep as ONE `lax.scan` over candidate positions with a [F] budget register
+and a [F, 52] abandoned mask, batched over all frames (each step is a few
+ops on [F]/[F,52] vectors; unrolled to amortize loop overhead).  The
+accepted-step flags come back as the scan's stacked output and fold into
+word lengths with a one-hot einsum.  Exactly equivalent to processing the
+sorted list sequentially per frame (spec: gold.coding.allocate_bits_sweep).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from carta1_tpu import constants as C
 from carta1_tpu.ops.tables import (
@@ -49,36 +54,37 @@ def allocate_bits(sf_idx: jnp.ndarray, allocation_bias: float) -> jnp.ndarray:
     # global descending-priority order; stable sort keeps (bfu, wl) order on
     # ties, which also guarantees a BFU's steps stay wl-sorted.
     order = jnp.argsort(-jnp.where(valid, prio, -jnp.inf), axis=1, stable=True)
-    s_bfu = jnp.take_along_axis(cand_bfu[None].repeat(nframes, 0), order, axis=1)
-    s_cost = jnp.take_along_axis(cand_cost[None].repeat(nframes, 0), order, axis=1)
+    s_bfu = jnp.take_along_axis(jnp.broadcast_to(cand_bfu, (nframes, _NCAND)), order, axis=1)
+    s_cost = jnp.take_along_axis(jnp.broadcast_to(cand_cost, (nframes, _NCAND)), order, axis=1)
     s_valid = jnp.take_along_axis(valid, order, axis=1)
+    s_cost = jnp.where(s_valid, s_cost, 0)
 
-    pos = jnp.arange(_NCAND)[None, :]
+    bfu_iota = jnp.arange(C.NUM_BFUS, dtype=jnp.int32)[None, :]     # [1, 52]
 
-    def body(state):
-        active, _ = state
-        csum = jnp.cumsum(jnp.where(active, s_cost, 0), axis=1)
-        over = active & (csum > RDO_BUDGET)
-        any_over = jnp.any(over, axis=1)                     # [F]
-        first = jnp.argmax(over, axis=1)                     # [F]
-        bfu_first = jnp.take_along_axis(s_bfu, first[:, None], axis=1)  # [F,1]
-        kill = (
-            active
-            & (s_bfu == bfu_first)
-            & (pos >= first[:, None])
-            & any_over[:, None]
-        )
-        return active & ~kill, jnp.any(any_over)
+    def step(carry, xs):
+        remaining, abandoned = carry                 # [F], [F, 52] bool
+        bfu, cost, ok = xs                           # [F] each
+        oh = bfu[:, None] == bfu_iota                # [F, 52]
+        is_abandoned = jnp.any(abandoned & oh, axis=1)
+        can = ok & ~is_abandoned
+        fits = can & (cost <= remaining)
+        remaining = remaining - jnp.where(fits, cost, 0)
+        abandoned = abandoned | (oh & (can & ~fits)[:, None])
+        return (remaining, abandoned), fits
 
-    def cond(state):
-        return state[1]
+    # derive the init from the input so it inherits the input's collective
+    # varying axes (shard_map requires carry in/out types to match)
+    init = (
+        jnp.full_like(sf_idx[:, 0], RDO_BUDGET),
+        sf_idx < 0,  # all-False [F, 52]
+    )
+    xs = (s_bfu.T, s_cost.T, s_valid.T)              # [780, F]
+    _, fits = lax.scan(step, init, xs, unroll=16)    # fits: [780, F]
 
-    active0, flag0 = body((s_valid, jnp.bool_(True)))
-    active, _ = jax.lax.while_loop(cond, lambda s: body(s), (active0, flag0))
-    # final pass: recompute acceptance under the converged mask
-    csum = jnp.cumsum(jnp.where(active, s_cost, 0), axis=1)
-    accepted = active & (csum <= RDO_BUDGET)
-
-    word_lengths = jnp.zeros((nframes, C.NUM_BFUS), jnp.int32)
-    word_lengths = word_lengths.at[jnp.arange(nframes)[:, None], s_bfu].add(accepted.astype(jnp.int32))
+    # fold accepted steps into per-BFU word lengths: one-hot contraction
+    word_lengths = jnp.einsum(
+        "if,ifb->fb",
+        fits.astype(jnp.float32),
+        jax.nn.one_hot(s_bfu.T, C.NUM_BFUS, dtype=jnp.float32),
+    ).astype(jnp.int32)
     return word_lengths

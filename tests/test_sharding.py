@@ -1,0 +1,86 @@
+"""Multi-device frame-axis sharding on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from carta1_tpu.framedata import FrameData
+from carta1_tpu.gold import gold_decode_frames, gold_encode_frames
+from carta1_tpu.io.wav import float_to_int16
+from carta1_tpu.parallel import decode_frames_sharded, encode_frames_sharded, make_mesh
+from carta1_tpu.pipeline import decode_frames, encode_frames
+
+from signals import frames, sine, white_noise
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs the virtual multi-device CPU mesh"
+)
+
+
+def _signal(nframes, seed=5):
+    sig = white_noise(seed, 512 * nframes) * 0.4
+    sig += sine(700, length=512 * nframes) * 0.4
+    return frames(sig.astype(np.float32))
+
+
+def test_sharded_encode_matches_single_device():
+    mesh = make_mesh()
+    ndev = mesh.devices.size
+    assert ndev == 8
+    pcm = _signal(ndev * 5, seed=2)
+    fd_single, _ = encode_frames(pcm)
+    fd_shard = encode_frames_sharded(pcm, mesh=mesh)
+    a, b = fd_single.to_numpy(), fd_shard.to_numpy()
+    assert np.array_equal(a.block_modes, b.block_modes)
+    assert np.array_equal(a.scale_factors, b.scale_factors)
+    # ULP wobble across shapes may flip a quantizer boundary; must be rare
+    qdiff = np.abs(a.quantized - b.quantized)
+    assert qdiff.max() <= 1
+    assert (qdiff != 0).mean() < 1e-3
+
+
+def test_sharded_decode_matches_single_device():
+    pcm = _signal(8 * 4, seed=7)
+    fd, _ = gold_encode_frames(pcm)
+    want, _ = decode_frames(fd)
+    got = decode_frames_sharded(fd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    gi = float_to_int16(np.asarray(got))
+    wi = float_to_int16(np.asarray(want))
+    assert np.abs(gi.astype(int) - wi.astype(int)).max() <= 1
+
+
+def test_sharded_decode_matches_gold_oracle():
+    """Boundary-state reconstruction must be exact: sharded decode stays
+    within the same 1-LSB envelope of the gold oracle as single-device."""
+    pcm = _signal(8 * 3, seed=9)
+    fd, _ = gold_encode_frames(pcm)
+    want, _ = gold_decode_frames(fd)
+    got = np.asarray(decode_frames_sharded(fd))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+    gi, wi = float_to_int16(got), float_to_int16(want)
+    d = np.abs(gi.astype(int) - wi.astype(int))
+    assert d.max() <= 1
+    assert (d != 0).mean() < 0.01
+
+
+def test_sharded_ragged_frame_count():
+    """Frame counts that don't divide the mesh get tail-padded and trimmed."""
+    pcm = _signal(21, seed=3)  # 21 frames on 8 devices
+    fd = encode_frames_sharded(pcm)
+    assert fd.to_numpy().num_frames == 21
+    out = decode_frames_sharded(fd)
+    assert np.asarray(out).shape == (21, 512)
+
+
+def test_sharded_roundtrip_quality():
+    nframes = 8 * 4
+    signal = sine(440, length=512 * nframes)
+    fd = encode_frames_sharded(signal.reshape(nframes, 512))
+    out = np.asarray(decode_frames_sharded(fd)).reshape(-1)
+    from carta1_tpu.constants import CODEC_DELAY
+
+    n = len(signal) - CODEC_DELAY
+    err = np.abs(out[CODEC_DELAY:] - signal[:n])
+    assert err.mean() < 0.1
