@@ -42,21 +42,28 @@ def allocate_bits(sf_idx: jnp.ndarray, allocation_bias: float) -> jnp.ndarray:
     Returns word_lengths int32 [F, 52] honoring the bit budget
     used + 40 + 10*52 <= 1696."""
     nframes = sf_idx.shape[0]
-    cand_bfu = jnp.asarray(RDO_CAND_BFU)        # [780]
-    cand_wl = jnp.asarray(RDO_CAND_WL)
-    cand_cost = jnp.asarray(RDO_CAND_COST)
 
-    sf = jnp.asarray(C.SCALE_FACTORS.astype("float32"))[sf_idx]     # [F, 52]
+    from carta1_tpu.ops.coding import table_lookup
+
+    sf = table_lookup(jnp.asarray(C.SCALE_FACTORS.astype("float32")), sf_idx)  # [F, 52]
     sf_eff = jnp.power(sf, jnp.float32(allocation_bias))
-    prio = sf_eff[:, cand_bfu] * jnp.asarray(RDO_STEP_GAIN)[cand_wl]  # [F, 780]
-    valid = (sf_idx[:, cand_bfu] > 0)
+    # candidate (bfu, wl) layout is a static repeat/tile -- no gathers
+    prio = jnp.repeat(sf_eff, 15, axis=1) * jnp.tile(jnp.asarray(RDO_STEP_GAIN), C.NUM_BFUS)
+    valid = jnp.repeat(sf_idx > 0, 15, axis=1)                       # [F, 780]
 
-    # global descending-priority order; stable sort keeps (bfu, wl) order on
-    # ties, which also guarantees a BFU's steps stay wl-sorted.
-    order = jnp.argsort(-jnp.where(valid, prio, -jnp.inf), axis=1, stable=True)
-    s_bfu = jnp.take_along_axis(jnp.broadcast_to(cand_bfu, (nframes, _NCAND)), order, axis=1)
-    s_cost = jnp.take_along_axis(jnp.broadcast_to(cand_cost, (nframes, _NCAND)), order, axis=1)
-    s_valid = jnp.take_along_axis(valid, order, axis=1)
+    # global descending-priority order; ONE stable multi-operand sort carries
+    # (bfu, cost, valid) along with the key (take_along_axis gathers are the
+    # slow path on TPU; lax.sort's bitonic network is not).  Stable sort
+    # keeps (bfu, wl) order on ties, which also guarantees a BFU's steps
+    # stay wl-sorted.
+    key = jnp.where(valid, -prio, jnp.inf)
+    bcast = lambda x: jnp.broadcast_to(x, (nframes, _NCAND))
+    _, s_bfu, s_cost, s_valid = jax.lax.sort(
+        (key, bcast(jnp.asarray(RDO_CAND_BFU)), bcast(jnp.asarray(RDO_CAND_COST)), valid),
+        dimension=-1,
+        is_stable=True,
+        num_keys=1,
+    )
     s_cost = jnp.where(s_valid, s_cost, 0)
 
     bfu_iota = jnp.arange(C.NUM_BFUS, dtype=jnp.int32)[None, :]     # [1, 52]

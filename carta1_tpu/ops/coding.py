@@ -1,30 +1,65 @@
 """Batched BFU grouping, quantization and dequantization (device).
 
-Parity: codec/coding/quantization.js.  Grouping and its inverse are single
-2-D `take_along_axis` gathers through the precomputed index maps in
-constants.py (2-D form with 128-lane-aligned sources is XLA's fast gather
-path); quantization uses flattened 1-D table lookups.
+Parity: codec/coding/quantization.js.
+
+TPU design: dynamic gathers run ~100M elem/s on TPU v5e, so this layer uses
+none.  Grouping and its inverse are matmuls against static 0/1 permutation
+matrices (exact f32 copies, MXU speed); table lookups go through fused
+one-hot contractions or exact closed forms (WORD_LENGTH_BITS[w] == w+1 for
+w > 0); band-to-BFU index maps are static concat/broadcasts.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from carta1_tpu import constants as C
-from carta1_tpu.ops.tables import DEQUANT_STEP, QUANT_NORM, QUANT_RANGES
+from carta1_tpu.ops.tables import DEQUANT_STEP, QUANT_NORM, bfu_permutation_matrices
 
-_BFU_BAND = jnp.asarray(C.BFU_BAND)                    # [52]
-_GATHER = jnp.asarray(C.BFU_GATHER_IDX)                # [2, 52, 20]
-_SCATTER = jnp.asarray(C.BFU_SCATTER_IDX)              # [2, 512]
 _SLOT_MASK = jnp.asarray(C.BFU_SLOT_MASK)              # [52, 20]
-_POS_BAND = jnp.minimum(jnp.arange(512) // 128, 2)     # [512]
-
 _NSLOT = C.NUM_BFUS * C.MAX_BFU_SIZE                   # 1040
-_NSLOT_PAD = 1152                                      # lane-aligned gather source
 
-_DEQUANT_FLAT = jnp.asarray(DEQUANT_STEP.reshape(-1))  # [64*16]
+_DEQUANT_FLAT = jnp.asarray(DEQUANT_STEP.reshape(-1))  # [1024] f32
 _QUANT_NORM_FLAT = jnp.asarray(QUANT_NORM.reshape(-1))
-_QUANT_RANGES = jnp.asarray(QUANT_RANGES.astype("int32"))  # [16]
+
+# BFU band sizes: band0 = 20 BFUs, band1 = 16, band2 = 16 (BFU_BAND_BOUNDARIES)
+_BFUS_PER_BAND = (20, 16, 16)
+# coefficient positions per band: 128 + 128 + 256
+_COEFFS_PER_BAND = (128, 128, 256)
+
+
+def word_length_bits(wl: jnp.ndarray) -> jnp.ndarray:
+    """WORD_LENGTH_BITS[wl] in closed form: 0, then wl+1 (constants.js:141)."""
+    return jnp.where(wl > 0, wl + 1, 0)
+
+
+def quant_range(wl: jnp.ndarray) -> jnp.ndarray:
+    """(1 << (bits-1)) - 1, 0 at wl == 0 (quantization.js:43)."""
+    bits = word_length_bits(wl)
+    return jnp.where(bits > 0, (1 << jnp.maximum(bits - 1, 0)) - 1, 0)
+
+
+def expand_band_to_bfu(per_band: jnp.ndarray) -> jnp.ndarray:
+    """[F, 3] band values -> [F, 52] per-BFU values (static broadcast)."""
+    return jnp.concatenate(
+        [jnp.repeat(per_band[:, b:b + 1], n, axis=1) for b, n in enumerate(_BFUS_PER_BAND)],
+        axis=1,
+    )
+
+
+def expand_band_to_coeff(per_band: jnp.ndarray) -> jnp.ndarray:
+    """[F, 3] band values -> [F, 512] per-position values."""
+    return jnp.concatenate(
+        [jnp.repeat(per_band[:, b:b + 1], n, axis=1) for b, n in enumerate(_COEFFS_PER_BAND)],
+        axis=1,
+    )
+
+
+def table_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Exact f32 table lookup via a fused one-hot contraction (no gather)."""
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
+    return jnp.einsum("...n,n->...", oh, table)
 
 
 def group_bfus(coeffs: jnp.ndarray, modes: jnp.ndarray) -> jnp.ndarray:
@@ -33,28 +68,27 @@ def group_bfus(coeffs: jnp.ndarray, modes: jnp.ndarray) -> jnp.ndarray:
     quantization.js:106-149: slot positions depend on the owning band's
     block mode; out-of-band slots are zero-filled."""
     nframes = coeffs.shape[0]
-    bfu_mode = (modes[:, _BFU_BAND] != 0).astype(jnp.int32)        # [F, 52]
-    idx = _GATHER[bfu_mode, jnp.arange(C.NUM_BFUS)[None, :]]       # [F, 52, 20]
-    valid = idx >= 0
-    flat_idx = jnp.where(valid, idx, 0).reshape(nframes, _NSLOT)
-    out = jnp.take_along_axis(coeffs, flat_idx, axis=1).reshape(idx.shape)
-    return jnp.where(valid, out, 0.0)
+    m_long, m_short = bfu_permutation_matrices()
+    long_slots = coeffs @ jnp.asarray(m_long)            # [F, 1040]
+    short_slots = coeffs @ jnp.asarray(m_short)
+    bfu_mode = expand_band_to_bfu(modes) != 0            # [F, 52]
+    slot_mode = jnp.repeat(bfu_mode, C.MAX_BFU_SIZE, axis=1)
+    out = jnp.where(slot_mode, short_slots, long_slots)
+    return out.reshape(nframes, C.NUM_BFUS, C.MAX_BFU_SIZE)
 
 
 def scatter_bfus(values: jnp.ndarray, modes: jnp.ndarray, n_bfu: jnp.ndarray) -> jnp.ndarray:
     """[F, 52, 20] BFU slot values -> [F, 512] spectra (decoder.js:52-98).
 
-    Inverse of group_bfus via the precomputed position->slot map; BFUs at or
-    beyond n_bfu contribute silence."""
+    Inverse of group_bfus; BFUs at or beyond n_bfu contribute silence."""
     nframes = values.shape[0]
+    m_long, m_short = bfu_permutation_matrices()
     active = jnp.arange(C.NUM_BFUS)[None, :] < n_bfu[:, None]
     vals = jnp.where(active[..., None], values, 0.0).reshape(nframes, _NSLOT)
-    vals = jnp.pad(vals, ((0, 0), (0, _NSLOT_PAD - _NSLOT)))
-    pos_mode = (modes[:, _POS_BAND] != 0).astype(jnp.int32)        # [F, 512]
-    slot = _SCATTER[pos_mode, jnp.arange(512)[None, :]]            # [F, 512]
-    valid = slot >= 0
-    out = jnp.take_along_axis(vals, jnp.where(valid, slot, _NSLOT), axis=1)
-    return jnp.where(valid, out, 0.0)
+    long_out = vals @ jnp.asarray(m_long.T)              # [F, 512]
+    short_out = vals @ jnp.asarray(m_short.T)
+    pos_mode = expand_band_to_coeff(modes) != 0          # [F, 512]
+    return jnp.where(pos_mode, short_out, long_out)
 
 
 def find_scale_factors(bfu_data: jnp.ndarray) -> jnp.ndarray:
@@ -68,14 +102,14 @@ def find_scale_factors(bfu_data: jnp.ndarray) -> jnp.ndarray:
 def quantize(bfu_data: jnp.ndarray, sf_idx: jnp.ndarray, word_len: jnp.ndarray) -> jnp.ndarray:
     """Midtread quantizer, round-half-away-from-zero then clamp
     (quantization.js:42-55).  [F,52,20] -> int32."""
-    norm = _QUANT_NORM_FLAT[sf_idx * 16 + word_len][..., None]     # [F,52,1]
+    norm = table_lookup(_QUANT_NORM_FLAT, sf_idx * 16 + word_len)[..., None]
     x = bfu_data * norm
     y = jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5)).astype(jnp.int32)
-    rng = _QUANT_RANGES[word_len][..., None]
+    rng = quant_range(word_len)[..., None]
     return jnp.clip(y, -rng, rng)
 
 
 def dequantize(quantized: jnp.ndarray, sf_idx: jnp.ndarray, word_len: jnp.ndarray) -> jnp.ndarray:
     """int32 [F,52,20] -> f32 (quantization.js:65-78)."""
-    step = _DEQUANT_FLAT[sf_idx * 16 + word_len][..., None]
+    step = table_lookup(_DEQUANT_FLAT, sf_idx * 16 + word_len)[..., None]
     return quantized.astype(jnp.float32) * step

@@ -136,3 +136,28 @@ RDO_CAND_BFU = np.repeat(np.arange(C.NUM_BFUS, dtype=np.int32), 15)
 RDO_CAND_WL = np.tile(np.arange(15, dtype=np.int32), C.NUM_BFUS)
 RDO_CAND_COST = (RDO_STEP_BITS[RDO_CAND_WL] * C.SPECS_PER_BFU[RDO_CAND_BFU]).astype(np.int32)
 RDO_BUDGET = int(C.FRAME_BITS - C.FRAME_OVERHEAD_BITS - C.NUM_BFUS * C.BITS_PER_BFU_METADATA)
+
+
+@functools.lru_cache(maxsize=None)
+def bfu_permutation_matrices() -> tuple[np.ndarray, np.ndarray]:
+    """0/1 permutation matrices turning BFU grouping into MXU matmuls.
+
+    M[mode][p, s] = 1 iff coefficient position p feeds flat BFU slot
+    s = bfu*20+k under block mode `mode`.  Then
+      group:   slots  = coeffs @ M[mode]        [F,512]x[512,1040]
+      scatter: coeffs = slots  @ M[mode].T      [F,1040]x[1040,512]
+    A matmul against a 0/1 matrix with one nonzero per column/row copies f32
+    values exactly, so this is bit-identical to the gather it replaces
+    (dynamic gathers run ~100M elem/s on TPU; these matmuls are ~0.5 ms at
+    4096 frames)."""
+    mats = []
+    for mode in range(2):
+        m = np.zeros((512, C.NUM_BFUS * C.MAX_BFU_SIZE), np.float32)
+        idx = C.BFU_GATHER_IDX[mode]  # [52, 20]
+        for bfu in range(C.NUM_BFUS):
+            for k in range(C.MAX_BFU_SIZE):
+                p = idx[bfu, k]
+                if p >= 0:
+                    m[p, bfu * C.MAX_BFU_SIZE + k] = 1.0
+        mats.append(m)
+    return mats[0], mats[1]
