@@ -22,7 +22,7 @@ import numpy as np
 
 from carta1_tpu import constants as C
 from carta1_tpu.io import aea
-from carta1_tpu.io.bitstream_np import unpack_frames
+from carta1_tpu.io.bitstream_np import unpack_frames_fast as unpack_frames
 from carta1_tpu.options import EncoderOptions
 from carta1_tpu.processor import decode_file, encode_file
 

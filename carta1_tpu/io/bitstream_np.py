@@ -71,7 +71,9 @@ def pack_frames(fd: FrameData) -> np.ndarray:
         jj = np.arange(width)[None, None, :]
         pos = offsets[..., None] + jj
         bit = ((values[..., None] >> (width - 1 - jj)) & 1).astype(np.uint8)
-        pos = np.where(mask[..., None], pos, FRAME_BITS)
+        # bits beyond the sound unit are dropped (bitstream.js:24 stops at
+        # the buffer end) -- clip into the dump column
+        pos = np.minimum(np.where(mask[..., None], pos, FRAME_BITS), FRAME_BITS)
         bits[np.arange(nf)[:, None, None], pos] = bit
 
     put(fd.word_lengths.astype(np.int64), wl_off, FRAME_WORD_LENGTH_BITS, active)
@@ -87,7 +89,7 @@ def pack_frames(fd: FrameData) -> np.ndarray:
     valid = slot_valid[..., None] & (jj < widths[..., None, None])
     shift = widths[..., None, None] - 1 - jj
     bit = ((vals[..., None] >> np.maximum(shift, 0)) & 1).astype(np.uint8)
-    bitpos = np.where(valid, bitpos, FRAME_BITS)
+    bitpos = np.minimum(np.where(valid, bitpos, FRAME_BITS), FRAME_BITS)
     bits[np.arange(nf)[:, None, None, None], bitpos] = np.where(valid, bit, 0)
 
     payload = bits[:, :FRAME_BITS].reshape(nf, SOUND_UNIT_SIZE, 8)
@@ -137,13 +139,17 @@ def unpack_frames(units: np.ndarray) -> FrameData:
     k = np.arange(MAX_BFU_SIZE)[None, None, :]
     slot_valid = (k < SPECS_PER_BFU[None, :, None]) & (widths[..., None] > 0)
     pos0 = coeff_off[..., None] + k * widths[..., None]
+    # JS reader semantics for malformed frames (bitstream.js:55): reading
+    # stops at the buffer end, so a truncated field keeps only the bits it
+    # actually read, un-shifted -- effective width = bits available.
+    eff_w = np.clip(FRAME_BITS - pos0, 0, widths[..., None])
     jj = np.arange(16)[None, None, None, :]
-    in_width = jj < widths[..., None, None]
+    in_width = jj < eff_w[..., None]
     bitpos = np.where(in_width & slot_valid[..., None], pos0[..., None] + jj, FRAME_BITS)
     bitpos = np.clip(bitpos, 0, FRAME_BITS)
     gathered = np.take_along_axis(bits, bitpos.reshape(nf, -1), axis=-1).reshape(bitpos.shape)
     gathered = np.where(in_width & slot_valid[..., None], gathered, 0)
-    shift = np.where(in_width, widths[..., None, None] - 1 - jj, 0)
+    shift = np.where(in_width, eff_w[..., None] - 1 - jj, 0)
     vals = (gathered << shift).sum(axis=-1)  # [F,52,20] unsigned
     sign_bit = np.where(slot_valid, 1 << np.maximum(widths[..., None] - 1, 0), 0)
     vals = np.where((vals >= sign_bit) & (sign_bit > 0), vals - (sign_bit << 1), vals)
@@ -156,3 +162,30 @@ def unpack_frames(units: np.ndarray) -> FrameData:
         word_lengths=word_lengths,
         quantized=quantized,
     )
+
+
+def pack_frames_fast(fd: FrameData) -> np.ndarray:
+    """Host pack via the native C++ tier when available (bit-identical,
+    ~500x faster), NumPy otherwise.  CARTA1_NO_NATIVE=1 forces NumPy."""
+    import os
+
+    if os.environ.get("CARTA1_NO_NATIVE") != "1":
+        from carta1_tpu import native
+
+        out = native.pack_frames(fd)
+        if out is not None:
+            return out
+    return pack_frames(fd)
+
+
+def unpack_frames_fast(units: np.ndarray) -> FrameData:
+    """Host unpack via the native C++ tier when available."""
+    import os
+
+    if os.environ.get("CARTA1_NO_NATIVE") != "1":
+        from carta1_tpu import native
+
+        out = native.unpack_frames(units)
+        if out is not None:
+            return out
+    return unpack_frames(units)

@@ -123,8 +123,11 @@ def _read_fields(w32: tuple[jnp.ndarray, jnp.ndarray], offsets: jnp.ndarray, wid
     hi = jnp.einsum("fmj,fj->fm", oh, w_hi).astype(jnp.uint32)
     lo = jnp.einsum("fmj,fj->fm", oh, w_lo).astype(jnp.uint32)
     win = (hi << 16) | lo
-    shift = 32 - r - widths.astype(jnp.uint32)
-    mask = jnp.where(widths > 0, (jnp.uint32(1) << widths.astype(jnp.uint32)) - 1, 0)
+    # JS reader semantics for malformed frames (bitstream.js:55): a field
+    # truncated by the unit boundary keeps only the bits it read, un-shifted.
+    eff_w = jnp.clip(C.FRAME_BITS - offsets, 0, widths).astype(jnp.uint32)
+    shift = 32 - r - eff_w
+    mask = jnp.where(eff_w > 0, (jnp.uint32(1) << eff_w) - 1, 0)
     return ((win >> shift) & mask).astype(jnp.int32)
 
 

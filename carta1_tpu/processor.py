@@ -18,7 +18,8 @@ import numpy as np
 from carta1_tpu import constants as C
 from carta1_tpu.framedata import FrameData
 from carta1_tpu.io import aea
-from carta1_tpu.io.bitstream_np import pack_frames, unpack_frames
+from carta1_tpu.io.bitstream_np import pack_frames_fast as pack_frames
+from carta1_tpu.io.bitstream_np import unpack_frames_fast as unpack_frames
 from carta1_tpu.io.wav import WavInfo, read_wav, write_wav
 from carta1_tpu.options import EncoderOptions
 
