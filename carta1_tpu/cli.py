@@ -134,6 +134,9 @@ def dump_json(input_aea: str, output_json: str, quiet: bool) -> None:
         "silentFrames": silent,
         "activeFrames": valid - silent,
     }
+    from carta1_tpu.profiling import stream_stats
+
+    dump["stats"] = stream_stats(fd)
     with open(output_json, "w") as f:
         json.dump(dump, f, indent=2)
     if not quiet:
@@ -156,6 +159,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="Force a JAX platform (e.g. cpu); default: autodetect",
     )
     p.add_argument("--chunk-frames", type=int, default=4096, help="Frames per device batch")
+    p.add_argument("--profile", metavar="DIR", help="Capture a jax.profiler device trace into DIR")
+    p.add_argument("--debug-nans", action="store_true", help="Raise on any NaN produced in the device pipeline")
     p.add_argument("input", help="Input file path")
     p.add_argument("output", help="Output file path")
     return p
@@ -167,6 +172,10 @@ def main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        from carta1_tpu.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
     modes = [args.encode, args.decode, args.json]
     if sum(modes) == 0:
         print("Error: Must specify one of --encode, --decode, or --json", file=sys.stderr)
@@ -181,6 +190,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 1
 
+    profile_ctx = None
+    if args.profile:
+        from carta1_tpu.profiling import trace
+
+        profile_ctx = trace(args.profile)
+        profile_ctx.__enter__()
     try:
         if args.encode:
             options = EncoderOptions()
@@ -231,6 +246,9 @@ def main(argv: list[str] | None = None) -> int:
     except (ValueError, OSError) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
     return 0
 
 
