@@ -9,13 +9,18 @@ descending-priority sweep over all 52x15 candidate steps, with the heap's
 "abandon on overflow" rule (a BFU whose next step doesn't fit is dropped and
 never revisited while cheaper steps of other BFUs continue).
 
-Implementation: argsort the 780 candidates by priority once, then run the
-sweep as ONE `lax.scan` over candidate positions with a [F] budget register
-and a [F, 52] abandoned mask, batched over all frames (each step is a few
-ops on [F]/[F,52] vectors; unrolled to amortize loop overhead).  The
-accepted-step flags come back as the scan's stacked output and fold into
-word lengths with a one-hot einsum.  Exactly equivalent to processing the
-sorted list sequentially per frame (spec: gold.coding.allocate_bits_sweep).
+Implementation (TPU-tuned):
+  * ONE stable sort orders the candidates; (bfu, cost, valid) ride along
+    packed into a single int32 operand (bfu 6 bits | cost 12 | valid 1), so
+    the bitonic network moves 2 arrays, not 4, and there are no post-sort
+    gathers.
+  * The sweep is ONE `lax.scan` over candidate positions, batched over all
+    frames in lane-major [52, F] layout (frames on the 128-lane axis), with
+    a [F] budget register and a [52, F] abandoned mask.
+  * Accepted-step flags come back as the scan's stacked output and fold
+    into word lengths with a one-hot contraction.
+
+Spec (exactly matched): gold.coding.allocate_bits_sweep.
 """
 
 from __future__ import annotations
@@ -29,7 +34,6 @@ from carta1_tpu.ops.tables import (
     RDO_BUDGET,
     RDO_CAND_BFU,
     RDO_CAND_COST,
-    RDO_CAND_WL,
     RDO_STEP_GAIN,
 )
 
@@ -51,42 +55,38 @@ def allocate_bits(sf_idx: jnp.ndarray, allocation_bias: float) -> jnp.ndarray:
     prio = jnp.repeat(sf_eff, 15, axis=1) * jnp.tile(jnp.asarray(RDO_STEP_GAIN), C.NUM_BFUS)
     valid = jnp.repeat(sf_idx > 0, 15, axis=1)                       # [F, 780]
 
-    # global descending-priority order; ONE stable multi-operand sort carries
-    # (bfu, cost, valid) along with the key (take_along_axis gathers are the
-    # slow path on TPU; lax.sort's bitonic network is not).  Stable sort
-    # keeps (bfu, wl) order on ties, which also guarantees a BFU's steps
-    # stay wl-sorted.
     key = jnp.where(valid, -prio, jnp.inf)
-    bcast = lambda x: jnp.broadcast_to(x, (nframes, _NCAND))
-    _, s_bfu, s_cost, s_valid = jax.lax.sort(
-        (key, bcast(jnp.asarray(RDO_CAND_BFU)), bcast(jnp.asarray(RDO_CAND_COST)), valid),
-        dimension=-1,
-        is_stable=True,
-        num_keys=1,
-    )
-    s_cost = jnp.where(s_valid, s_cost, 0)
+    packed = jnp.broadcast_to(
+        (jnp.asarray(RDO_CAND_BFU) << 13) | (jnp.asarray(RDO_CAND_COST) << 1), (nframes, _NCAND)
+    ) | valid.astype(jnp.int32)
+    _, s_packed = jax.lax.sort((key, packed), dimension=-1, is_stable=True, num_keys=1)
 
-    bfu_iota = jnp.arange(C.NUM_BFUS, dtype=jnp.int32)[None, :]     # [1, 52]
+    s_bfu = (s_packed >> 13) & 0x3F
+    s_valid = (s_packed & 1) == 1
+    s_cost = jnp.where(s_valid, (s_packed >> 1) & 0xFFF, 0)
+
+    # lane-major sweep: frames ride the 128-lane axis
+    bfu_iota = jnp.arange(C.NUM_BFUS, dtype=jnp.int32)[:, None]      # [52, 1]
 
     def step(carry, xs):
-        remaining, abandoned = carry                 # [F], [F, 52] bool
+        remaining, abandoned = carry                 # [F], [52, F] bool
         bfu, cost, ok = xs                           # [F] each
-        oh = bfu[:, None] == bfu_iota                # [F, 52]
-        is_abandoned = jnp.any(abandoned & oh, axis=1)
+        oh = bfu[None, :] == bfu_iota                # [52, F]
+        is_abandoned = jnp.any(abandoned & oh, axis=0)
         can = ok & ~is_abandoned
         fits = can & (cost <= remaining)
         remaining = remaining - jnp.where(fits, cost, 0)
-        abandoned = abandoned | (oh & (can & ~fits)[:, None])
+        abandoned = abandoned | (oh & (can & ~fits)[None, :])
         return (remaining, abandoned), fits
 
-    # derive the init from the input so it inherits the input's collective
-    # varying axes (shard_map requires carry in/out types to match)
+    # init derived from the input so it inherits collective varying axes
+    # (shard_map requires carry in/out types to match)
     init = (
         jnp.full_like(sf_idx[:, 0], RDO_BUDGET),
-        sf_idx < 0,  # all-False [F, 52]
+        (sf_idx.T < 0),  # all-False [52, F]
     )
     xs = (s_bfu.T, s_cost.T, s_valid.T)              # [780, F]
-    _, fits = lax.scan(step, init, xs, unroll=16)    # fits: [780, F]
+    _, fits = lax.scan(step, init, xs, unroll=8)    # fits: [780, F]
 
     # fold accepted steps into per-BFU word lengths: one-hot contraction
     word_lengths = jnp.einsum(

@@ -97,31 +97,34 @@ def pack_frames(fd: FrameData) -> jnp.ndarray:
     return bytes_[:, : C.SOUND_UNIT_SIZE].astype(jnp.uint8)
 
 
+_NHALF_PAD = 128  # 212 bytes = 106 halfwords, +1 straddle, lane-aligned
+
+
 def _windows32(units: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """uint8 [F, 212] -> big-endian 32-bit windows W[j] = bytes j..j+3,
-    zero-padded to [F, 256], split into exact-f32 16-bit halves.
+    """uint8 [F, 212] -> big-endian 16-bit halfwords [F, 128] as exact f32.
 
-    The halves let the per-field window read be a fused one-hot contraction
-    instead of a dynamic gather (~100M elem/s on TPU): 16-bit integers are
-    exact in f32, so the contraction reproduces the gather bit-for-bit."""
+    A field of width <= 16 starting at bit offset r in [0,16) of halfword h
+    lives inside the 32-bit window (halfword[h], halfword[h+1]); 16-bit
+    integers are exact in f32, so the one-hot window read reproduces a
+    gather bit-for-bit at half the contraction FLOPs of byte windows."""
     nframes = units.shape[0]
-    b = jnp.zeros((nframes, _NBYTES_PAD + 3), jnp.uint32).at[:, : C.SOUND_UNIT_SIZE].set(units.astype(jnp.uint32))
-    hi = (b[:, :_NBYTES_PAD] << 8) | b[:, 1:_NBYTES_PAD + 1]
-    lo = (b[:, 2:_NBYTES_PAD + 2] << 8) | b[:, 3:_NBYTES_PAD + 3]
-    return hi.astype(jnp.float32), lo.astype(jnp.float32)
+    b = jnp.zeros((nframes, 2 * _NHALF_PAD), jnp.uint32).at[:, : C.SOUND_UNIT_SIZE].set(units.astype(jnp.uint32))
+    half = (b[:, 0::2] << 8) | b[:, 1::2]               # [F, 128]
+    return half.astype(jnp.float32), None
 
 
-def _read_fields(w32: tuple[jnp.ndarray, jnp.ndarray], offsets: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
+def _read_fields(w32, offsets: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
     """Read one field per (frame, slot): offsets/widths int32 [F, M].
 
     Returns unsigned values [F, M].  Out-of-range offsets are clamped into
     the zero padding (corrupt-frame tolerance)."""
-    w_hi, w_lo = w32
-    j = jnp.clip(offsets >> 3, 0, _NBYTES_PAD - 1)
-    r = (offsets & 7).astype(jnp.uint32)
-    oh = jax.nn.one_hot(j, _NBYTES_PAD, dtype=jnp.float32)          # fused
-    hi = jnp.einsum("fmj,fj->fm", oh, w_hi).astype(jnp.uint32)
-    lo = jnp.einsum("fmj,fj->fm", oh, w_lo).astype(jnp.uint32)
+    halves, _ = w32
+    h = jnp.clip(offsets >> 4, 0, _NHALF_PAD - 2)
+    r = (offsets & 15).astype(jnp.uint32)
+    oh = jax.nn.one_hot(h, _NHALF_PAD, dtype=jnp.float32)           # fused
+    hi = jnp.einsum("fmj,fj->fm", oh, halves).astype(jnp.uint32)
+    oh2 = jax.nn.one_hot(h + 1, _NHALF_PAD, dtype=jnp.float32)
+    lo = jnp.einsum("fmj,fj->fm", oh2, halves).astype(jnp.uint32)
     win = (hi << 16) | lo
     # JS reader semantics for malformed frames (bitstream.js:55): a field
     # truncated by the unit boundary keeps only the bits it read, un-shifted.
