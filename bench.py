@@ -77,18 +77,26 @@ def bench_tpu(frames_per_chunk: int = 4096, iters: int = 8) -> float:
     return frames_per_chunk * iters / elapsed
 
 
-def bench_gold_baseline(nframes: int = 256) -> float:
-    """Single-core reference-algorithm encode+decode frames/s (NumPy gold)."""
+def bench_gold_baseline(nframes: int = 512) -> float:
+    """Single-core reference-algorithm encode+decode frames/s.
+
+    Gold NumPy codec + the native C++ serializer pinned to ONE OpenMP
+    thread: the strongest honest stand-in for a single-core reference
+    implementation (the vectorized NumPy transforms are already much faster
+    than the JS they emulate)."""
+    import os
+
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     from carta1_tpu.gold import gold_decode_frames, gold_encode_frames
-    from carta1_tpu.io.bitstream_np import pack_frames, unpack_frames
+    from carta1_tpu.io.bitstream_np import pack_frames_fast, unpack_frames_fast
 
     pcm = synth_audio(nframes, channels=1)[0].reshape(nframes, 512)
     # warm caches
     gold_encode_frames(pcm[:8])
     t0 = time.perf_counter()
     fd, _ = gold_encode_frames(pcm)
-    units = pack_frames(fd)
-    fd2 = unpack_frames(units)
+    units = pack_frames_fast(fd)
+    fd2 = unpack_frames_fast(units)
     gold_decode_frames(fd2)
     elapsed = time.perf_counter() - t0
     return nframes / elapsed

@@ -33,6 +33,8 @@ _SPECS = jnp.asarray(C.SPECS_PER_BFU)
 _SLOT = jnp.asarray(C.BFU_SLOT_MASK)
 
 _COEFF_BASE = C.FRAME_HEADER_BITS + 10 * _NF  # 536 when n_bfu == 52
+_STATIC_BYTES = _COEFF_BASE // 8              # 67: header+wl+sf bytes
+_COEFF_BYTES_PAD = 160                        # 212-67=145 coeff bytes, padded
 _NBYTES_PAD = 256  # window/gather arrays padded to a lane multiple
 
 
@@ -57,44 +59,47 @@ def pack_frames(fd: FrameData) -> jnp.ndarray:
     csum = jnp.cumsum(flat_w, axis=1)
     coeff_starts = _COEFF_BASE + csum - flat_w                 # [F, 1040]
 
-    i = jnp.arange(_NF, dtype=jnp.int32)
-    wl_starts = jnp.broadcast_to(C.FRAME_HEADER_BITS + 4 * i, (nframes, _NF))
-    sf_starts = jnp.broadcast_to(C.FRAME_HEADER_BITS + 4 * _NF + 6 * i, (nframes, _NF))
+    # --- static section: header + word lengths + scale factors occupy a
+    # fixed layout of exactly 536 bits = 67 bytes when n_bfu == 52; build
+    # its bit image with pure elementwise/reshape ops (no scatter at all)
+    jh = jnp.arange(16)
+    header_bits = (header[:, None] >> (15 - jh)) & 1                     # [F,16]
+    j4 = jnp.arange(4)
+    wl_bits = ((wl[:, :, None] >> (3 - j4)) & 1).reshape(nframes, _NF * 4)
+    j6 = jnp.arange(6)
+    sf_bits = ((sf[:, :, None] >> (5 - j6)) & 1).reshape(nframes, _NF * 6)
+    static_bits = jnp.concatenate([header_bits, wl_bits, sf_bits], axis=1)  # [F,536]
+    weights = (1 << jnp.arange(7, -1, -1)).astype(jnp.int32)
+    static_bytes = (static_bits.reshape(nframes, _STATIC_BYTES, 8) * weights).sum(-1)
 
-    starts = jnp.concatenate(
-        [jnp.zeros((nframes, 1), jnp.int32), wl_starts, sf_starts, coeff_starts], axis=1
-    )  # [F, 1145]
-    widths = jnp.concatenate(
-        [
-            jnp.full((nframes, 1), 16, jnp.int32),
-            jnp.full((nframes, _NF), 4, jnp.int32),
-            jnp.full((nframes, _NF), 6, jnp.int32),
-            flat_w,
-        ],
-        axis=1,
-    )
+    # --- coefficient section (data-dependent offsets): carry-free 24-bit
+    # anchor-byte images + ONE one-hot contraction over coeff bytes only
     coeff_vals = (q & ((1 << jnp.maximum(widths_bfu, 1)) - 1)[:, :, None]).reshape(nframes, -1)
     coeff_vals = jnp.where(flat_w > 0, coeff_vals, 0)
-    values = jnp.concatenate([header[:, None], wl, sf, coeff_vals], axis=1)
 
-    # 24-bit field image anchored at byte k = start>>3, bit offset r = start&7
-    k = starts >> 3
-    r = starts & 7
-    aligned = jnp.where(widths > 0, values << (24 - r - widths), 0)  # [F, 1145]
+    k = (coeff_starts >> 3) - _STATIC_BYTES       # anchors in [0, 145+]
+    r = coeff_starts & 7
+    aligned = jnp.where(flat_w > 0, coeff_vals << (24 - r - flat_w), 0)
 
-    # carry-free scatter by anchor byte: S[f, j] = sum of aligned where k == j
+    # S[f, j] = sum of aligned where k == j; anchors beyond the unit fall
+    # outside the one-hot domain and are dropped (reference stops at the
+    # buffer end, bitstream.js:24)
     s24 = jnp.einsum(
         "fi,fij->fj",
         aligned.astype(jnp.float32),
-        jax.nn.one_hot(k, _NBYTES_PAD, dtype=jnp.float32),
-    ).astype(jnp.int32)  # [F, 256]; exact: every sum < 2^24
+        jax.nn.one_hot(k, _COEFF_BYTES_PAD, dtype=jnp.float32),
+    ).astype(jnp.int32)  # [F, 160]; exact: every sum < 2^24
 
     hi = (s24 >> 16) & 0xFF
     mid = (s24 >> 8) & 0xFF
     lo = s24 & 0xFF
     z = jnp.zeros((nframes, 1), jnp.int32)
-    bytes_ = hi + jnp.concatenate([z, mid[:, :-1]], axis=1) + jnp.concatenate([z, z, lo[:, :-2]], axis=1)
-    return bytes_[:, : C.SOUND_UNIT_SIZE].astype(jnp.uint8)
+    coeff_bytes = hi + jnp.concatenate([z, mid[:, :-1]], axis=1) + jnp.concatenate([z, z, lo[:, :-2]], axis=1)
+
+    bytes_ = jnp.concatenate(
+        [static_bytes, coeff_bytes[:, : C.SOUND_UNIT_SIZE - _STATIC_BYTES]], axis=1
+    )
+    return bytes_.astype(jnp.uint8)
 
 
 _NHALF_PAD = 128  # 212 bytes = 106 halfwords, +1 straddle, lane-aligned
@@ -109,8 +114,10 @@ def _windows32(units: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     gather bit-for-bit at half the contraction FLOPs of byte windows."""
     nframes = units.shape[0]
     b = jnp.zeros((nframes, 2 * _NHALF_PAD), jnp.uint32).at[:, : C.SOUND_UNIT_SIZE].set(units.astype(jnp.uint32))
-    half = (b[:, 0::2] << 8) | b[:, 1::2]               # [F, 128]
-    return half.astype(jnp.float32), None
+    half = ((b[:, 0::2] << 8) | b[:, 1::2]).astype(jnp.float32)     # [F, 128]
+    shifted = jnp.concatenate([half[:, 1:], jnp.zeros((nframes, 1), jnp.float32)], axis=1)
+    # stacked (halfword[h], halfword[h+1]) so one contraction reads both
+    return jnp.stack([half, shifted], axis=-1), None
 
 
 def _read_fields(w32, offsets: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
@@ -118,14 +125,12 @@ def _read_fields(w32, offsets: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
 
     Returns unsigned values [F, M].  Out-of-range offsets are clamped into
     the zero padding (corrupt-frame tolerance)."""
-    halves, _ = w32
+    pairs, _ = w32                                                   # [F, 128, 2]
     h = jnp.clip(offsets >> 4, 0, _NHALF_PAD - 2)
     r = (offsets & 15).astype(jnp.uint32)
-    oh = jax.nn.one_hot(h, _NHALF_PAD, dtype=jnp.float32)           # fused
-    hi = jnp.einsum("fmj,fj->fm", oh, halves).astype(jnp.uint32)
-    oh2 = jax.nn.one_hot(h + 1, _NHALF_PAD, dtype=jnp.float32)
-    lo = jnp.einsum("fmj,fj->fm", oh2, halves).astype(jnp.uint32)
-    win = (hi << 16) | lo
+    oh = jax.nn.one_hot(h, _NHALF_PAD, dtype=jnp.float32)            # fused
+    both = jnp.einsum("fmj,fjc->fmc", oh, pairs).astype(jnp.uint32)  # [F, M, 2]
+    win = (both[..., 0] << 16) | both[..., 1]
     # JS reader semantics for malformed frames (bitstream.js:55): a field
     # truncated by the unit boundary keeps only the bits it read, un-shifted.
     eff_w = jnp.clip(C.FRAME_BITS - offsets, 0, widths).astype(jnp.uint32)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from carta1_tpu import constants as C
 from carta1_tpu.ops.tables import DEQUANT_STEP, QUANT_NORM, bfu_permutation_matrices
@@ -99,17 +100,31 @@ def find_scale_factors(bfu_data: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(max_amp > 0, idx, 0)
 
 
+_SF_TABLE32 = jnp.asarray(C.SCALE_FACTORS.astype(np.float32))  # [64] f32
+
+
 def quantize(bfu_data: jnp.ndarray, sf_idx: jnp.ndarray, word_len: jnp.ndarray) -> jnp.ndarray:
     """Midtread quantizer, round-half-away-from-zero then clamp
-    (quantization.js:42-55).  [F,52,20] -> int32."""
-    norm = table_lookup(_QUANT_NORM_FLAT, sf_idx * 16 + word_len)[..., None]
+    (quantization.js:42-55).  [F,52,20] -> int32.
+
+    norm = range/sf computed as one correctly-rounded f32 division of the
+    f32 scale-factor table value (the reference divides in f64; both are
+    within 1 ulp -- boundary-rare, inside the documented encode envelope)."""
+    sf = table_lookup(_SF_TABLE32, sf_idx)                           # [F, 52]
+    rng = quant_range(word_len)
+    active = (rng > 0) & (sf_idx > 0)
+    norm = jnp.where(active, rng.astype(jnp.float32) / jnp.where(sf > 0, sf, 1.0), 0.0)[..., None]
     x = bfu_data * norm
     y = jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5)).astype(jnp.int32)
-    rng = quant_range(word_len)[..., None]
-    return jnp.clip(y, -rng, rng)
+    return jnp.clip(y, -rng[..., None], rng[..., None])
 
 
 def dequantize(quantized: jnp.ndarray, sf_idx: jnp.ndarray, word_len: jnp.ndarray) -> jnp.ndarray:
-    """int32 [F,52,20] -> f32 (quantization.js:65-78)."""
-    step = table_lookup(_DEQUANT_FLAT, sf_idx * 16 + word_len)[..., None]
+    """int32 [F,52,20] -> f32 (quantization.js:65-78).
+
+    step = sf/range as one f32 division (1-ulp class, see quantize)."""
+    sf = table_lookup(_SF_TABLE32, sf_idx)
+    rng = quant_range(word_len)
+    active = (rng > 0) & (sf_idx > 0)
+    step = jnp.where(active, sf / jnp.maximum(rng, 1).astype(jnp.float32), 0.0)[..., None]
     return quantized.astype(jnp.float32) * step
