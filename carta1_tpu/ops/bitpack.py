@@ -120,17 +120,38 @@ def _windows32(units: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.stack([half, shifted], axis=-1), None
 
 
+import os as _os
+
+# Dynamic gathers inside the full transcode program fall off XLA's fast
+# custom-call path (measured: 320k -> 26k frames/s), so the fused one-hot
+# contraction is the default; CARTA1_UNPACK_GATHER=1 re-enables the gather
+# formulation for experimentation.
+_USE_GATHER_READ = _os.environ.get("CARTA1_UNPACK_GATHER") == "1"
+
+
 def _read_fields(w32, offsets: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
     """Read one field per (frame, slot): offsets/widths int32 [F, M].
 
     Returns unsigned values [F, M].  Out-of-range offsets are clamped into
-    the zero padding (corrupt-frame tolerance)."""
+    the zero padding (corrupt-frame tolerance).
+
+    Two window-read strategies: a plain 2-D take_along_axis (XLA's fast
+    gather custom-call -- fast as long as no small-table gather poisons the
+    runtime, and this codebase has none), and a fused one-hot contraction
+    fallback (CARTA1_UNPACK_EINSUM=1)."""
     pairs, _ = w32                                                   # [F, 128, 2]
     h = jnp.clip(offsets >> 4, 0, _NHALF_PAD - 2)
     r = (offsets & 15).astype(jnp.uint32)
-    oh = jax.nn.one_hot(h, _NHALF_PAD, dtype=jnp.float32)            # fused
-    both = jnp.einsum("fmj,fjc->fmc", oh, pairs).astype(jnp.uint32)  # [F, M, 2]
-    win = (both[..., 0] << 16) | both[..., 1]
+    if _USE_GATHER_READ:
+        hi_src = pairs[..., 0].astype(jnp.uint32)
+        lo_src = pairs[..., 1].astype(jnp.uint32)
+        hi = jnp.take_along_axis(hi_src, h, axis=1)
+        lo = jnp.take_along_axis(lo_src, h, axis=1)
+        win = (hi << 16) | lo
+    else:
+        oh = jax.nn.one_hot(h, _NHALF_PAD, dtype=jnp.float32)        # fused
+        both = jnp.einsum("fmj,fjc->fmc", oh, pairs).astype(jnp.uint32)
+        win = (both[..., 0] << 16) | both[..., 1]
     # JS reader semantics for malformed frames (bitstream.js:55): a field
     # truncated by the unit boundary keeps only the bits it read, un-shifted.
     eff_w = jnp.clip(C.FRAME_BITS - offsets, 0, widths).astype(jnp.uint32)
