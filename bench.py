@@ -43,7 +43,7 @@ def synth_audio(nframes: int, channels: int = 2) -> np.ndarray:
     return out
 
 
-def bench_tpu(frames_per_chunk: int = 4096, iters: int = 8) -> float:
+def bench_tpu(frames_per_chunk: int = 8192, iters: int = 8) -> float:
     """Steady-state frames/s of the full device pipeline on one chip."""
     import jax
     import jax.numpy as jnp

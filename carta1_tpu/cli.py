@@ -158,7 +158,7 @@ def build_parser() -> argparse.ArgumentParser:
         default=os.environ.get("CARTA1_PLATFORM", ""),
         help="Force a JAX platform (e.g. cpu); default: autodetect",
     )
-    p.add_argument("--chunk-frames", type=int, default=4096, help="Frames per device batch")
+    p.add_argument("--chunk-frames", type=int, default=8192, help="Frames per device batch")
     p.add_argument("--profile", metavar="DIR", help="Capture a jax.profiler device trace into DIR")
     p.add_argument("--debug-nans", action="store_true", help="Raise on any NaN produced in the device pipeline")
     p.add_argument("input", help="Input file path")

@@ -23,7 +23,7 @@ from carta1_tpu.io.bitstream_np import unpack_frames_fast as unpack_frames
 from carta1_tpu.io.wav import WavInfo, read_wav, write_wav
 from carta1_tpu.options import EncoderOptions
 
-DEFAULT_CHUNK_FRAMES = 4096
+DEFAULT_CHUNK_FRAMES = 8192
 
 
 def pcm_to_frames(pcm: np.ndarray) -> np.ndarray:
