@@ -203,6 +203,13 @@ def main(argv: list[str] | None = None) -> int:
                 options = options.replace(allocation_bias=args.bias)
             title = args.title or os.path.splitext(os.path.basename(args.output))[0]
             validate_title(title)
+            from carta1_tpu.io.wav import read_wav  # header-only sample-rate check
+
+            info, _ = read_wav(args.input)
+            if info.sample_rate != C.SAMPLE_RATE and not args.quiet:
+                print(
+                    f"Warning: Input sample rate {info.sample_rate}Hz, expected {C.SAMPLE_RATE}Hz"
+                )
             t0 = time.perf_counter()
             result = encode_file(
                 args.input,
