@@ -206,3 +206,47 @@ def decode_file(
         samples=pcm.shape[1],
         duration=pcm.shape[1] / C.SAMPLE_RATE,
     )
+
+
+def encode_clips(
+    clips: list[np.ndarray],
+    options: EncoderOptions | None = None,
+    on_progress: Callable[[int, int], None] | None = None,
+) -> list[np.ndarray]:
+    """Encode many independent mono clips in parallel on one chip
+    (BASELINE config 4: clip axis + frame axis both vectorized).
+
+    clips: list of f32 [N_i] sample arrays (ragged).  Each clip is an
+    independent stream (fresh codec state, zero-padded tail frames like the
+    reference's frame splitter).  Clips are right-padded to the longest
+    clip's frame count, encoded as one [clips, F, 512] vmapped batch, and
+    the padding frames are dropped per clip afterwards.
+
+    Returns a list of uint8 [F_i, 212] sound-unit arrays, one per clip.
+    """
+    import jax
+
+    from carta1_tpu.pipeline.encoder import _encode_jit, encoder_init_state
+
+    options = options or EncoderOptions()
+    frame_counts = [max(1, -(-len(c) // C.SAMPLES_PER_FRAME)) for c in clips]
+    max_frames = max(frame_counts)
+    batch = np.zeros((len(clips), max_frames, C.SAMPLES_PER_FRAME), np.float32)
+    for i, clip in enumerate(clips):
+        batch[i, : frame_counts[i]] = pcm_to_frames(clip)
+
+    state = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (len(clips),) + x.shape),
+        encoder_init_state(),
+    )
+    fd, _ = jax.vmap(
+        lambda p, s: _encode_jit(p, s, options.band_thresholds, options.allocation_bias)
+    )(batch, state)
+    fd = fd.to_numpy()
+
+    out = []
+    for i, nf in enumerate(frame_counts):
+        out.append(pack_frames(fd[i][slice(0, nf)]))
+        if on_progress:
+            on_progress(i + 1, len(clips))
+    return out

@@ -101,3 +101,22 @@ def test_corpus_decode_mode(tmp_path):
     assert len(res.completed) == 2 and not res.failed
     info, pcm = read_wav(djobs[0][1])
     assert info.channels == 1 and pcm.shape[1] == 8 * 512
+
+
+def test_encode_clips_batched_equals_individual():
+    """Config 4: many ragged clips in one vmapped batch == encoding each
+    clip alone (padding frames must not leak across clips)."""
+    from carta1_tpu.processor import encode_clips, encode_pcm
+
+    rng = np.random.default_rng(5)
+    clips = [
+        (sine(300 + 100 * i, length=512 * (2 + i)) * 0.5).astype(np.float32)
+        for i in range(4)
+    ]
+    clips.append((rng.standard_normal(1000) * 0.2).astype(np.float32))  # ragged tail
+    batched = encode_clips(clips)
+    for clip, units in zip(clips, batched):
+        solo = encode_pcm(clip[None, :], engine="tpu")
+        assert units.shape == solo.shape
+        # ULP wobble across batch shapes may flip rare quantizer boundaries
+        assert (units != solo).mean() < 0.01
