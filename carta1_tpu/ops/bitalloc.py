@@ -88,7 +88,9 @@ def allocate_bits(sf_idx: jnp.ndarray, allocation_bias: float) -> jnp.ndarray:
     xs = (s_bfu.T, s_cost.T, s_valid.T)              # [780, F]
     _, fits = lax.scan(step, init, xs, unroll=8)    # fits: [780, F]
 
-    # fold accepted steps into per-BFU word lengths: one-hot contraction
+    # fold accepted steps into per-BFU word lengths: one-hot contraction.
+    # DEFAULT matmul precision is safe here (unlike the signal path): both
+    # operands are 0/1 and the per-BFU sums are < 16, all exact in bf16.
     word_lengths = jnp.einsum(
         "if,ifb->fb",
         fits.astype(jnp.float32),

@@ -3,22 +3,33 @@
 Bit layout parity: codec/io/serialization.js:41-176 (MSB-first,
 two's-complement coefficients).  The host oracle is io/bitstream_np.py.
 
-Design notes (measured on TPU v5e, 4096-frame batches):
-  * Pack: every field is <= 16 bits wide and starts at bit offset r in [0,8)
-    of its anchor byte k, so its bits live inside a 24-bit window anchored at
-    k.  Summing the aligned 24-bit field images per anchor byte is carry-free
-    (fields never share a bit), and the per-frame scatter-by-anchor-byte is
-    one one-hot einsum -- XLA fuses the one-hot into the contraction, so no
-    [F, fields, bytes] tensor materializes.  The three window bytes then
-    recombine with elementwise shifts.  ~5 ms vs ~1000 ms for the
-    searchsorted formulation it replaces.
-  * Unpack: a 32-bit big-endian sliding window per byte turns every field
-    read into ONE take_along_axis gather; gather sources are padded to a
-    multiple of 128 lanes (unaligned minor dims fall off XLA's fast gather
-    path: 45 ms -> 0.04 ms).
+Design notes (measured on TPU v5e, 4096..8192-frame batches):
+  * The unit is viewed as 106 big-endian halfwords padded to 128; a field of
+    width <= 16 at bit offset r in [0,16) of halfword h lives inside the
+    32-bit window (half[h] << 16) | half[h+1], held exactly in uint32.
+  * All dynamic window reads/writes are fused compare/select/accumulate
+    reductions over a *statically bounded* anchor range (never a gather: any
+    executed small-table gather poisons every later gather in the process,
+    and unaligned gathers never hit XLA's fast path -- see PERF.md):
+      - word lengths sit at static bit offsets 16+4i (serialization.js:57-61)
+        -> free nibble extraction, no reduction at all;
+      - scale factors start at the halfword-aligned offset 16+4*nBfu
+        (nBfu is even, serialization.js:64-68) -> anchors in [6, 34);
+      - coefficients start at >= 16+10*nBfu >= 216 bits and the unit is
+        1696 bits -> anchors in [13, 107).
+    The previous formulation reduced over all 128 anchors in two f32
+    channels; the uint32 single-channel restricted-range reduction is the
+    same exact arithmetic at ~2.5x less VPU work.
+  * Pack: coefficient fields are carry-free within their anchored 32-bit
+    window (fields never share a bit), so the per-anchor sum of aligned
+    images is exact in uint32 and windows recombine with shifts; the
+    header/wl/sf section has a fully static 536-bit layout (nBfu == 52, the
+    encoder invariant, bitallocation.js:45) built with elementwise ops.
 """
 
 from __future__ import annotations
+
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -34,8 +45,70 @@ _SLOT = jnp.asarray(C.BFU_SLOT_MASK)
 
 _COEFF_BASE = C.FRAME_HEADER_BITS + 10 * _NF  # 536 when n_bfu == 52
 _STATIC_BYTES = _COEFF_BASE // 8              # 67: header+wl+sf bytes
-_COEFF_BYTES_PAD = 160                        # 212-67=145 coeff bytes, padded
-_NBYTES_PAD = 256  # window/gather arrays padded to a lane multiple
+_NHALF = C.SOUND_UNIT_SIZE // 2               # 106 halfwords per unit
+_NHALF_PAD = 128                              # lane-aligned window array
+
+# Anchor ranges (halfword index of a field's 32-bit window), statically
+# bounded by the format: sf section starts at 16+4*nBfu with nBfu >= 20;
+# coefficients at 16+10*nBfu; everything ends at FRAME_BITS.
+_SF_J = (6, 34)
+_COEFF_J = (13, _NHALF + 1)            # [13, 107): +1 for the straddle window
+_PACK_J = (_COEFF_BASE // 16, _NHALF + 1)  # [33, 107): pack is nBfu=52 only
+
+# Dynamic gathers inside the full transcode program fall off XLA's fast
+# custom-call path (measured: 320k -> 26k frames/s), so the fused reduction
+# is the default; CARTA1_UNPACK_GATHER=1 re-enables the gather formulation
+# for experimentation.
+_USE_GATHER_READ = _os.environ.get("CARTA1_UNPACK_GATHER") == "1"
+
+
+def _halfwords(units: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [F, 212] -> big-endian halfwords uint32 [F, 128] (zero padded)."""
+    nframes = units.shape[0]
+    b = jnp.zeros((nframes, 2 * _NHALF_PAD), jnp.uint32)
+    b = b.at[:, : C.SOUND_UNIT_SIZE].set(units.astype(jnp.uint32))
+    return (b[:, 0::2] << 8) | b[:, 1::2]
+
+
+def _window_reduce(win32: jnp.ndarray, h: jnp.ndarray, j_lo: int, j_hi: int) -> jnp.ndarray:
+    """win[f, m] = win32[f, h[f, m]] for h in [j_lo, j_hi), else 0.
+
+    One fused compare/select/sum over the restricted anchor range; exactly
+    one (or zero) terms are selected per output, so uint32 summation is an
+    exact window read."""
+    j = jnp.arange(j_lo, j_hi, dtype=jnp.int32)
+    sel = h[:, :, None] == j[None, None, :]
+    return jnp.where(sel, win32[:, None, j_lo:j_hi], jnp.uint32(0)).sum(
+        axis=-1, dtype=jnp.uint32
+    )
+
+
+def _read_fields(
+    win32: jnp.ndarray,
+    half: jnp.ndarray,
+    offsets: jnp.ndarray,
+    widths: jnp.ndarray,
+    j_range: tuple[int, int],
+) -> jnp.ndarray:
+    """Read one field per (frame, slot): offsets/widths int32 [F, M].
+
+    Returns unsigned values [F, M].  Out-of-range offsets land outside the
+    anchor range and read 0 (corrupt-frame tolerance)."""
+    h = offsets >> 4
+    r = (offsets & 15).astype(jnp.uint32)
+    if _USE_GATHER_READ:
+        hc = jnp.clip(h, 0, _NHALF_PAD - 2)
+        hi = jnp.take_along_axis(half, hc, axis=1)
+        lo = jnp.take_along_axis(half, hc + 1, axis=1)
+        win = (hi << 16) | lo
+    else:
+        win = _window_reduce(win32, h, *j_range)
+    # JS reader semantics for malformed frames (bitstream.js:55): a field
+    # truncated by the unit boundary keeps only the bits it read, un-shifted.
+    eff_w = jnp.clip(C.FRAME_BITS - offsets, 0, widths).astype(jnp.uint32)
+    shift = 32 - r - eff_w
+    mask = jnp.where(eff_w > 0, (jnp.uint32(1) << eff_w) - 1, 0)
+    return ((win >> shift) & mask).astype(jnp.int32)
 
 
 def pack_frames(fd: FrameData) -> jnp.ndarray:
@@ -53,11 +126,11 @@ def pack_frames(fd: FrameData) -> jnp.ndarray:
         | (7 << 5)  # BFU_AMOUNTS.index(52)
     )
 
-    widths_bfu = word_length_bits(wl)                          # [F, 52]
+    widths_bfu = word_length_bits(wl)                           # [F, 52]
     slot_w = jnp.where(_SLOT[None], widths_bfu[:, :, None], 0)  # [F, 52, 20]
     flat_w = slot_w.reshape(nframes, _NF * _NS)
     csum = jnp.cumsum(flat_w, axis=1)
-    coeff_starts = _COEFF_BASE + csum - flat_w                 # [F, 1040]
+    coeff_starts = _COEFF_BASE + csum - flat_w                  # [F, 1040]
 
     # --- static section: header + word lengths + scale factors occupy a
     # fixed layout of exactly 536 bits = 67 bytes when n_bfu == 52; build
@@ -72,100 +145,53 @@ def pack_frames(fd: FrameData) -> jnp.ndarray:
     weights = (1 << jnp.arange(7, -1, -1)).astype(jnp.int32)
     static_bytes = (static_bits.reshape(nframes, _STATIC_BYTES, 8) * weights).sum(-1)
 
-    # --- coefficient section (data-dependent offsets): carry-free 24-bit
-    # anchor-byte images + ONE one-hot contraction over coeff bytes only
+    # --- coefficient section (data-dependent offsets): carry-free 32-bit
+    # window images summed per anchor halfword (uint32-exact: fields within
+    # one window never share a bit), restricted to the coefficient anchors
     coeff_vals = (q & ((1 << jnp.maximum(widths_bfu, 1)) - 1)[:, :, None]).reshape(nframes, -1)
-    coeff_vals = jnp.where(flat_w > 0, coeff_vals, 0)
+    coeff_vals = jnp.where(flat_w > 0, coeff_vals, 0).astype(jnp.uint32)
 
-    k = (coeff_starts >> 3) - _STATIC_BYTES       # anchors in [0, 145+]
-    r = coeff_starts & 7
-    aligned = jnp.where(flat_w > 0, coeff_vals << (24 - r - flat_w), 0)
-
-    # S[f, j] = sum of aligned where k == j; anchors beyond the unit fall
-    # outside the one-hot domain and are dropped (reference stops at the
-    # buffer end, bitstream.js:24)
-    s24 = jnp.einsum(
-        "fi,fij->fj",
-        aligned.astype(jnp.float32),
-        jax.nn.one_hot(k, _COEFF_BYTES_PAD, dtype=jnp.float32),
-    ).astype(jnp.int32)  # [F, 160]; exact: every sum < 2^24
-
-    hi = (s24 >> 16) & 0xFF
-    mid = (s24 >> 8) & 0xFF
-    lo = s24 & 0xFF
-    z = jnp.zeros((nframes, 1), jnp.int32)
-    coeff_bytes = hi + jnp.concatenate([z, mid[:, :-1]], axis=1) + jnp.concatenate([z, z, lo[:, :-2]], axis=1)
-
-    bytes_ = jnp.concatenate(
-        [static_bytes, coeff_bytes[:, : C.SOUND_UNIT_SIZE - _STATIC_BYTES]], axis=1
+    k = coeff_starts >> 4                     # anchor halfword, in [33, 106]
+    r = (coeff_starts & 15).astype(jnp.uint32)
+    # max(w, 1) keeps the discarded w == 0 lanes' shift < 32 (a 32-bit shift
+    # on uint32 is undefined in XLA even when the result is masked out)
+    aligned = jnp.where(
+        flat_w > 0,
+        coeff_vals << (32 - r - jnp.maximum(flat_w, 1).astype(jnp.uint32)),
+        jnp.uint32(0),
     )
+
+    j_lo, j_hi = _PACK_J
+    j = jnp.arange(j_lo, j_hi, dtype=jnp.int32)
+    sel = k[:, :, None] == j[None, None, :]
+    s32 = jnp.where(sel, aligned[:, :, None], jnp.uint32(0)).sum(
+        axis=1, dtype=jnp.uint32
+    )  # [F, 74]; anchors beyond the unit fall outside the range and are
+    # dropped (reference stops at the buffer end, bitstream.js:24)
+
+    # window j covers halfwords (j, j+1); globally bit-disjoint fields make
+    # the halfword recombination carry-free
+    zero = jnp.zeros((nframes, 1), jnp.uint32)
+    half_out = (s32 >> 16) | jnp.concatenate([zero, s32[:, :-1] & 0xFFFF], axis=1)
+    coeff_bytes = jnp.stack([half_out >> 8, half_out & 0xFF], axis=-1).reshape(nframes, -1)
+    # half_out[0] is halfword 33 whose top byte (66) belongs to the static
+    # section (coefficients start at bit 536 = byte 67): drop it
+    coeff_bytes = coeff_bytes[:, 1 : 1 + C.SOUND_UNIT_SIZE - _STATIC_BYTES].astype(jnp.int32)
+
+    bytes_ = jnp.concatenate([static_bytes, coeff_bytes], axis=1)
     return bytes_.astype(jnp.uint8)
-
-
-_NHALF_PAD = 128  # 212 bytes = 106 halfwords, +1 straddle, lane-aligned
-
-
-def _windows32(units: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """uint8 [F, 212] -> big-endian 16-bit halfwords [F, 128] as exact f32.
-
-    A field of width <= 16 starting at bit offset r in [0,16) of halfword h
-    lives inside the 32-bit window (halfword[h], halfword[h+1]); 16-bit
-    integers are exact in f32, so the one-hot window read reproduces a
-    gather bit-for-bit at half the contraction FLOPs of byte windows."""
-    nframes = units.shape[0]
-    b = jnp.zeros((nframes, 2 * _NHALF_PAD), jnp.uint32).at[:, : C.SOUND_UNIT_SIZE].set(units.astype(jnp.uint32))
-    half = ((b[:, 0::2] << 8) | b[:, 1::2]).astype(jnp.float32)     # [F, 128]
-    shifted = jnp.concatenate([half[:, 1:], jnp.zeros((nframes, 1), jnp.float32)], axis=1)
-    # stacked (halfword[h], halfword[h+1]) so one contraction reads both
-    return jnp.stack([half, shifted], axis=-1), None
-
-
-import os as _os
-
-# Dynamic gathers inside the full transcode program fall off XLA's fast
-# custom-call path (measured: 320k -> 26k frames/s), so the fused one-hot
-# contraction is the default; CARTA1_UNPACK_GATHER=1 re-enables the gather
-# formulation for experimentation.
-_USE_GATHER_READ = _os.environ.get("CARTA1_UNPACK_GATHER") == "1"
-
-
-def _read_fields(w32, offsets: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
-    """Read one field per (frame, slot): offsets/widths int32 [F, M].
-
-    Returns unsigned values [F, M].  Out-of-range offsets are clamped into
-    the zero padding (corrupt-frame tolerance).
-
-    Two window-read strategies: a plain 2-D take_along_axis (XLA's fast
-    gather custom-call -- fast as long as no small-table gather poisons the
-    runtime, and this codebase has none), and a fused one-hot contraction
-    fallback (CARTA1_UNPACK_EINSUM=1)."""
-    pairs, _ = w32                                                   # [F, 128, 2]
-    h = jnp.clip(offsets >> 4, 0, _NHALF_PAD - 2)
-    r = (offsets & 15).astype(jnp.uint32)
-    if _USE_GATHER_READ:
-        hi_src = pairs[..., 0].astype(jnp.uint32)
-        lo_src = pairs[..., 1].astype(jnp.uint32)
-        hi = jnp.take_along_axis(hi_src, h, axis=1)
-        lo = jnp.take_along_axis(lo_src, h, axis=1)
-        win = (hi << 16) | lo
-    else:
-        oh = jax.nn.one_hot(h, _NHALF_PAD, dtype=jnp.float32)        # fused
-        both = jnp.einsum("fmj,fjc->fmc", oh, pairs).astype(jnp.uint32)
-        win = (both[..., 0] << 16) | both[..., 1]
-    # JS reader semantics for malformed frames (bitstream.js:55): a field
-    # truncated by the unit boundary keeps only the bits it read, un-shifted.
-    eff_w = jnp.clip(C.FRAME_BITS - offsets, 0, widths).astype(jnp.uint32)
-    shift = 32 - r - eff_w
-    mask = jnp.where(eff_w > 0, (jnp.uint32(1) << eff_w) - 1, 0)
-    return ((win >> shift) & mask).astype(jnp.int32)
 
 
 def unpack_frames(units: jnp.ndarray) -> FrameData:
     """uint8 [F, 212] -> FrameData (honors all BFU_AMOUNTS values)."""
     nframes = units.shape[0]
-    w32 = _windows32(units)
+    half = _halfwords(units)                                        # [F, 128]
+    shifted = jnp.concatenate(
+        [half[:, 1:], jnp.zeros((nframes, 1), jnp.uint32)], axis=1
+    )
+    win32 = (half << 16) | shifted
 
-    header = _read_fields(w32, jnp.zeros((nframes, 1), jnp.int32), jnp.full((nframes, 1), 16, jnp.int32))[:, 0]
+    header = half[:, 0].astype(jnp.int32)
     block_modes = jnp.stack(
         [2 - ((header >> 14) & 3), 2 - ((header >> 12) & 3), 3 - ((header >> 10) & 3)],
         axis=1,
@@ -176,19 +202,30 @@ def unpack_frames(units: jnp.ndarray) -> FrameData:
 
     i = jnp.arange(_NF, dtype=jnp.int32)[None, :]
     active = i < n_bfu[:, None]
-    wl_off = jnp.broadcast_to(C.FRAME_HEADER_BITS + 4 * i, (nframes, _NF))
-    word_lengths = jnp.where(active, _read_fields(w32, wl_off, jnp.full((nframes, _NF), 4, jnp.int32)), 0)
+
+    # word lengths: static 4-bit fields at bits 16+4i = nibbles of
+    # halfwords 1..13 (serialization.js:57-61) -- no dynamic read at all
+    nib = jnp.arange(4, dtype=jnp.uint32)
+    wl_all = ((half[:, 1 : 1 + _NF // 4, None] >> (12 - 4 * nib)) & 15).reshape(
+        nframes, _NF
+    ).astype(jnp.int32)
+    word_lengths = jnp.where(active, wl_all, 0)
+
     sf_off = C.FRAME_HEADER_BITS + 4 * n_bfu[:, None] + 6 * i
-    scale_factors = jnp.where(active, _read_fields(w32, sf_off, jnp.full((nframes, _NF), 6, jnp.int32)), 0)
+    scale_factors = jnp.where(
+        active,
+        _read_fields(win32, half, sf_off, jnp.full((nframes, _NF), 6, jnp.int32), _SF_J),
+        0,
+    )
 
     widths = jnp.where(active, word_length_bits(word_lengths), 0)  # [F, 52]
-    slot_w = jnp.where(_SLOT[None], widths[:, :, None], 0)      # [F, 52, 20]
+    slot_w = jnp.where(_SLOT[None], widths[:, :, None], 0)         # [F, 52, 20]
     flat_w = slot_w.reshape(nframes, _NF * _NS)
     csum = jnp.cumsum(flat_w, axis=1)
     coeff_base = C.FRAME_HEADER_BITS + 10 * n_bfu[:, None]
     offsets = coeff_base + csum - flat_w
 
-    vals = _read_fields(w32, offsets, flat_w)                   # [F, 1040]
+    vals = _read_fields(win32, half, offsets, flat_w, _COEFF_J)    # [F, 1040]
     sign_bit = jnp.where(flat_w > 0, 1 << jnp.maximum(flat_w - 1, 0), 0)
     vals = jnp.where(vals >= jnp.maximum(sign_bit, 1), vals - (sign_bit << 1), vals)
     quantized = jnp.where(flat_w > 0, vals, 0).reshape(nframes, _NF, _NS).astype(jnp.int32)

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from carta1_tpu import constants as C
-from carta1_tpu.ops.tables import DEQUANT_STEP, QUANT_NORM, bfu_permutation_matrices
+from carta1_tpu.ops.common import FP
+from carta1_tpu.ops.tables import DEQUANT_STEP, QUANT_NORM
 
 _SLOT_MASK = jnp.asarray(C.BFU_SLOT_MASK)              # [52, 20]
 _NSLOT = C.NUM_BFUS * C.MAX_BFU_SIZE                   # 1040
@@ -60,7 +61,54 @@ def expand_band_to_coeff(per_band: jnp.ndarray) -> jnp.ndarray:
 def table_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Exact f32 table lookup via a fused one-hot contraction (no gather)."""
     oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
-    return jnp.einsum("...n,n->...", oh, table)
+    return jnp.einsum("...n,n->...", oh, table, precision=FP)
+
+
+def _bfu_runs(mode: int) -> list[tuple[int, int]]:
+    """Static (coeff_start, length) of each BFU's contiguous coefficient run.
+
+    BFU_GATHER_IDX rows are contiguous ascending runs (quantization.js reads
+    `coefficients[start + k]` consecutively); verified here at build time."""
+    idx = C.BFU_GATHER_IDX[mode]  # [52, 20], -1 padding
+    runs = []
+    for bfu in range(C.NUM_BFUS):
+        row = idx[bfu]
+        valid = row[row >= 0]
+        n = len(valid)
+        assert n > 0 and (valid == valid[0] + np.arange(n)).all(), "non-contiguous BFU run"
+        runs.append((int(valid[0]), n))
+    return runs
+
+
+def _group_one_mode(coeffs: jnp.ndarray, mode: int) -> jnp.ndarray:
+    """[F, 512] -> [F, 1040] flat slots: pure static slice/concat (exact,
+    zero FLOPs -- replaces a [512, 1040] permutation matmul)."""
+    nframes = coeffs.shape[0]
+    pieces = []
+    for start, n in _bfu_runs(mode):
+        pieces.append(coeffs[:, start : start + n])
+        if n < C.MAX_BFU_SIZE:
+            pieces.append(jnp.zeros((nframes, C.MAX_BFU_SIZE - n), coeffs.dtype))
+    return jnp.concatenate(pieces, axis=1)
+
+
+def _scatter_one_mode(vals: jnp.ndarray, mode: int) -> jnp.ndarray:
+    """[F, 1040] flat slots -> [F, 512]: static inverse of _group_one_mode.
+
+    BFU runs tile [0, 512) exactly (asserted); emitting them in ascending
+    coefficient order is a concat of slot slices."""
+    order = []
+    for bfu, (start, n) in enumerate(_bfu_runs(mode)):
+        order.append((start, bfu * C.MAX_BFU_SIZE, n))
+    order.sort()
+    pos = 0
+    pieces = []
+    for start, slot, n in order:
+        assert start == pos, "BFU runs must tile the spectrum"
+        pieces.append(vals[:, slot : slot + n])
+        pos += n
+    assert pos == C.SAMPLES_PER_FRAME
+    return jnp.concatenate(pieces, axis=1)
 
 
 def group_bfus(coeffs: jnp.ndarray, modes: jnp.ndarray) -> jnp.ndarray:
@@ -69,9 +117,8 @@ def group_bfus(coeffs: jnp.ndarray, modes: jnp.ndarray) -> jnp.ndarray:
     quantization.js:106-149: slot positions depend on the owning band's
     block mode; out-of-band slots are zero-filled."""
     nframes = coeffs.shape[0]
-    m_long, m_short = bfu_permutation_matrices()
-    long_slots = coeffs @ jnp.asarray(m_long)            # [F, 1040]
-    short_slots = coeffs @ jnp.asarray(m_short)
+    long_slots = _group_one_mode(coeffs, 0)              # [F, 1040]
+    short_slots = _group_one_mode(coeffs, 1)
     bfu_mode = expand_band_to_bfu(modes) != 0            # [F, 52]
     slot_mode = jnp.repeat(bfu_mode, C.MAX_BFU_SIZE, axis=1)
     out = jnp.where(slot_mode, short_slots, long_slots)
@@ -83,11 +130,10 @@ def scatter_bfus(values: jnp.ndarray, modes: jnp.ndarray, n_bfu: jnp.ndarray) ->
 
     Inverse of group_bfus; BFUs at or beyond n_bfu contribute silence."""
     nframes = values.shape[0]
-    m_long, m_short = bfu_permutation_matrices()
     active = jnp.arange(C.NUM_BFUS)[None, :] < n_bfu[:, None]
     vals = jnp.where(active[..., None], values, 0.0).reshape(nframes, _NSLOT)
-    long_out = vals @ jnp.asarray(m_long.T)              # [F, 512]
-    short_out = vals @ jnp.asarray(m_short.T)
+    long_out = _scatter_one_mode(vals, 0)                # [F, 512]
+    short_out = _scatter_one_mode(vals, 1)
     pos_mode = expand_band_to_coeff(modes) != 0          # [F, 512]
     return jnp.where(pos_mode, short_out, long_out)
 

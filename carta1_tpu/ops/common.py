@@ -3,6 +3,22 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
+
+# All signal-path contractions must run at true f32: JAX's DEFAULT matmul
+# precision truncates f32 operands to bf16 on the TPU MXU, which (a) adds a
+# ~2^-8 relative noise floor to the MDCT/QMF spectra -- the RDO allocator
+# then wastes budget coding that junk (measured: -12 dB round-trip SNR) --
+# and (b) breaks the exact-selection one-hot contractions (permutations,
+# table lookups) the bit-exact decode contract depends on.  HIGHEST is the
+# f32-faithful 6-pass algorithm; it is bit-exact for 0/1-matrix selection
+# (each operand's 3-way bf16 split is an exact decomposition of f32).
+FP = lax.Precision.HIGHEST
+
+
+def fmatmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """f32-faithful matmul (see FP note above)."""
+    return jnp.matmul(a, b, precision=FP)
 
 
 def halo_prefix(x: jnp.ndarray, stream_prefix: jnp.ndarray) -> jnp.ndarray:

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from carta1_tpu import constants as C
-from carta1_tpu.ops.common import shift_frames
+from carta1_tpu.ops.common import fmatmul, shift_frames
 from carta1_tpu.ops.tables import decoder_imdct_tables, encoder_mdct_tables
 
 _W = C.WINDOW_SHORT.astype("float32")  # [32]
@@ -30,13 +30,13 @@ def encoder_mdct_band(band: jnp.ndarray, band_idx: int, modes: jnp.ndarray, tail
 
     tail_prev = shift_frames(band[:, size - 32:], tail_state)  # [F, 32] raw
 
-    long_cf = tail_prev @ jnp.asarray(t[f"long_ov{band_idx}"]) + band @ jnp.asarray(t[f"long_main{band_idx}"])
+    long_cf = fmatmul(tail_prev, jnp.asarray(t[f"long_ov{band_idx}"])) + fmatmul(band, jnp.asarray(t[f"long_main{band_idx}"]))
 
     blocks = band.reshape(nframes, nb, 32)
     ov_blocks = jnp.concatenate([tail_prev[:, None, :], blocks[:, :-1]], axis=1)
     sov = jnp.asarray(t["short_ov_rev" if band_idx > 0 else "short_ov"])
     smain = jnp.asarray(t["short_main_rev" if band_idx > 0 else "short_main"])
-    short_cf = (ov_blocks @ sov + blocks @ smain).reshape(nframes, size)
+    short_cf = (fmatmul(ov_blocks, sov) + fmatmul(blocks, smain)).reshape(nframes, size)
 
     coeffs = jnp.where((modes == 0)[:, None], long_cf, short_cf)
     return coeffs, band[-1, size - 32:]
@@ -59,10 +59,10 @@ def decoder_imdct_band(coeffs: jnp.ndarray, band_idx: int, modes: jnp.ndarray, t
     nframes, size = coeffs.shape
     nb = C.MDCT_NUM_SHORT_BLOCKS[band_idx]
 
-    inv_long = coeffs @ jnp.asarray(t[f"long{band_idx}"])  # [F, size]
+    inv_long = fmatmul(coeffs, jnp.asarray(t[f"long{band_idx}"]))  # [F, size]
     blocks = coeffs.reshape(nframes, nb, 32)
     short_basis = jnp.asarray(t["short_rev" if band_idx > 0 else "short"])
-    inv_short = (blocks @ short_basis).reshape(nframes, size)
+    inv_short = fmatmul(blocks, short_basis).reshape(nframes, size)
 
     inv = jnp.where((modes == 0)[:, None], inv_long, inv_short)
     tail = inv[:, size - _TAIL:]

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from carta1_tpu import constants as C
-from carta1_tpu.ops.common import halo_prefix
+from carta1_tpu.ops.common import FP, halo_prefix
 
 _DN = ("NCH", "OIH", "NCH")
 
@@ -43,6 +43,7 @@ def qmf_analysis(x: jnp.ndarray, delay: jnp.ndarray) -> tuple[jnp.ndarray, jnp.n
         window_strides=(2,),
         padding="VALID",
         dimension_numbers=_DN,
+        precision=FP,
     )  # [F, 2, L/2]
     return out[:, 0], out[:, 1], x[-1, -C.QMF_DELAY:]
 
@@ -58,6 +59,7 @@ def qmf_synthesis(low: jnp.ndarray, high: jnp.ndarray, delay: jnp.ndarray) -> tu
         window_strides=(2,),
         padding="VALID",
         dimension_numbers=_DN,
+        precision=FP,
     )  # [F, 2, S]
     interleaved = jnp.stack([out[:, 0], out[:, 1]], axis=-1).reshape(nframes, 2 * s)
     return interleaved, merged[-1, -C.QMF_DELAY:]
