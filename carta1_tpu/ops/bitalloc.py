@@ -10,15 +10,28 @@ descending-priority sweep over all 52x15 candidate steps, with the heap's
 never revisited while cheaper steps of other BFUs continue).
 
 Implementation (TPU-tuned):
-  * ONE stable sort orders the candidates; (bfu, cost, valid) ride along
-    packed into a single int32 operand (bfu 6 bits | cost 12 | valid 1), so
-    the bitonic network moves 2 arrays, not 4, and there are no post-sort
-    gathers.
+  * ONE single-operand int32 sort orders the candidates.  The priority is a
+    function of only (sf index in 0..63, step wl in 0..14) and the static
+    allocation bias, so the full 64x15 f32 priority table -- computed at
+    trace time with exactly the sweep spec's float32 semantics -- collapses
+    to a 10-bit descending *rank*, which is packed above the payload:
+    rank 10 bits | bfu 6 | cost 12 | valid 1.  Ascending non-stable sort of
+    that one int32 reproduces the spec's stable descending-priority order
+    bit-for-bit: equal f32 priorities share a rank, and the payload bits
+    break the tie in (bfu, wl) order (for equal priorities the candidate
+    with the smaller bfu always has the smaller candidate index).  The
+    bitonic network moves ONE array with a trivial comparator, instead of a
+    float key + payload + the hidden iota a stable sort adds.
   * The sweep is ONE `lax.scan` over candidate positions, batched over all
-    frames in lane-major [52, F] layout (frames on the 128-lane axis), with
-    a [F] budget register and a [52, F] abandoned mask.
-  * Accepted-step flags come back as the scan's stacked output and fold
-    into word lengths with a one-hot contraction.
+    frames on the 128-lane axis.  The entire per-frame state is bit-packed
+    into eleven [F] int32 registers: the budget, a 52-bit abandoned mask in
+    two registers, and 52 4-bit accepted-step counters nibble-packed into
+    seven registers (a word length gains at most 15 steps, so a nibble never
+    overflows).  The body is ~30 elementwise [F] ops -- an order of
+    magnitude less vector work than a [52, F] mask formulation -- and the
+    scan emits no stacked output, so no [780, F] intermediate ever touches
+    HBM and the word lengths fall out of the final carry with 52 static
+    shift/mask extractions instead of a one-hot contraction.
 
 Spec (exactly matched): gold.coding.allocate_bits_sweep.
 """
@@ -45,55 +58,72 @@ def allocate_bits(sf_idx: jnp.ndarray, allocation_bias: float) -> jnp.ndarray:
 
     Returns word_lengths int32 [F, 52] honoring the bit budget
     used + 40 + 10*52 <= 1696."""
+    import numpy as np
+
     nframes = sf_idx.shape[0]
+    bias = float(allocation_bias)
 
-    from carta1_tpu.ops.coding import table_lookup
+    # trace-time priority table, float32 semantics identical to the sweep
+    # spec (gold.coding.allocate_bits_sweep): sf32^bias * gain32
+    sf32 = C.SCALE_FACTORS.astype(np.float32)
+    prio = ((sf32 ** np.float32(bias)).astype(np.float32)[:, None] * RDO_STEP_GAIN[None, :]).astype(np.float32)  # [64, 15]
+    uniq = np.unique(prio)  # ascending, deduplicated
+    rank_tbl = (len(uniq) - 1 - np.searchsorted(uniq, prio)).astype(np.float32)
 
-    sf = table_lookup(jnp.asarray(C.SCALE_FACTORS.astype("float32")), sf_idx)  # [F, 52]
-    sf_eff = jnp.power(sf, jnp.float32(allocation_bias))
-    # candidate (bfu, wl) layout is a static repeat/tile -- no gathers
-    prio = jnp.repeat(sf_eff, 15, axis=1) * jnp.tile(jnp.asarray(RDO_STEP_GAIN), C.NUM_BFUS)
+    # per-candidate rank via one-hot contraction over the 64 sf values (no
+    # gathers); HIGHEST keeps the integer ranks (< 1024 << 2^24) exact
+    oh = jax.nn.one_hot(sf_idx, 64, dtype=jnp.float32)               # [F, 52, 64]
+    ranks = jnp.einsum(
+        "fbs,sk->fbk", oh, jnp.asarray(rank_tbl), precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.int32).reshape(nframes, _NCAND)                     # [F, 780]
+
+    payload = (RDO_CAND_BFU << 13) | (RDO_CAND_COST << 1) | 1        # [780] host
+    key = (ranks << 19) | jnp.asarray(payload)[None, :]
     valid = jnp.repeat(sf_idx > 0, 15, axis=1)                       # [F, 780]
+    key = jnp.where(valid, key, jnp.int32(0x7FFFFFFE))               # sentinel: valid bit 0
+    s_key = lax.sort(key, dimension=-1, is_stable=False)
 
-    key = jnp.where(valid, -prio, jnp.inf)
-    packed = jnp.broadcast_to(
-        (jnp.asarray(RDO_CAND_BFU) << 13) | (jnp.asarray(RDO_CAND_COST) << 1), (nframes, _NCAND)
-    ) | valid.astype(jnp.int32)
-    _, s_packed = jax.lax.sort((key, packed), dimension=-1, is_stable=True, num_keys=1)
+    s_bfu = (s_key >> 13) & 0x3F
+    s_valid = (s_key & 1) == 1
+    s_cost = jnp.where(s_valid, (s_key >> 1) & 0xFFF, 0)
 
-    s_bfu = (s_packed >> 13) & 0x3F
-    s_valid = (s_packed & 1) == 1
-    s_cost = jnp.where(s_valid, (s_packed >> 1) & 0xFFF, 0)
-
-    # lane-major sweep: frames ride the 128-lane axis
-    bfu_iota = jnp.arange(C.NUM_BFUS, dtype=jnp.int32)[:, None]      # [52, 1]
+    # lane-major sweep: frames ride the 128-lane axis; all state bit-packed
+    # into [F]-wide int32 registers (see module docstring).
+    iota2 = jnp.arange(2, dtype=jnp.int32)[:, None]                  # [2, 1]
+    iota7 = jnp.arange(7, dtype=jnp.int32)[:, None]                  # [7, 1]
+    one = jnp.int32(1)
 
     def step(carry, xs):
-        remaining, abandoned = carry                 # [F], [52, F] bool
+        remaining, ab, cnt = carry                   # [F], [2, F], [7, F]
         bfu, cost, ok = xs                           # [F] each
-        oh = bfu[None, :] == bfu_iota                # [52, F]
-        is_abandoned = jnp.any(abandoned & oh, axis=0)
+        hi = bfu >> 5                                # which abandoned register
+        bit = jnp.left_shift(one, bfu & 31)
+        cur = jnp.where(hi == 1, ab[1], ab[0])
+        is_abandoned = (cur & bit) != 0
         can = ok & ~is_abandoned
         fits = can & (cost <= remaining)
         remaining = remaining - jnp.where(fits, cost, 0)
-        abandoned = abandoned | (oh & (can & ~fits)[None, :])
-        return (remaining, abandoned), fits
+        abit = jnp.where(can & ~fits, bit, 0)
+        ab = ab | jnp.where(iota2 == hi[None, :], abit[None, :], 0)
+        inc = jnp.left_shift(fits.astype(jnp.int32), (bfu & 7) << 2)
+        cnt = cnt + jnp.where(iota7 == (bfu >> 3)[None, :], inc[None, :], 0)
+        return (remaining, ab, cnt), None
 
     # init derived from the input so it inherits collective varying axes
     # (shard_map requires carry in/out types to match)
+    zero_col = jnp.zeros_like(sf_idx[:, 0])
     init = (
-        jnp.full_like(sf_idx[:, 0], RDO_BUDGET),
-        (sf_idx.T < 0),  # all-False [52, F]
+        jnp.full_like(zero_col, RDO_BUDGET),
+        jnp.stack([zero_col, zero_col]),                       # [2, F]
+        jnp.stack([zero_col] * 7),                             # [7, F]
     )
     xs = (s_bfu.T, s_cost.T, s_valid.T)              # [780, F]
-    _, fits = lax.scan(step, init, xs, unroll=8)    # fits: [780, F]
+    (_, _, cnt), _ = lax.scan(step, init, xs, unroll=8)
 
-    # fold accepted steps into per-BFU word lengths: one-hot contraction.
-    # DEFAULT matmul precision is safe here (unlike the signal path): both
-    # operands are 0/1 and the per-BFU sums are < 16, all exact in bf16.
-    word_lengths = jnp.einsum(
-        "if,ifb->fb",
-        fits.astype(jnp.float32),
-        jax.nn.one_hot(s_bfu.T, C.NUM_BFUS, dtype=jnp.float32),
-    ).astype(jnp.int32)
+    # unpack the nibble counters into per-BFU word lengths: 52 static
+    # shift/mask extractions (fused by XLA), no gathers, no contraction.
+    word_lengths = jnp.stack(
+        [(cnt[b >> 3] >> ((b & 7) << 2)) & 0xF for b in range(C.NUM_BFUS)],
+        axis=1,
+    )
     return word_lengths
