@@ -212,3 +212,147 @@ def mul_const_f32(x, ct: ConstTriple):
     xh, xl = split(x)
     acc = acc3_add_mul_const(acc3_zero(x.shape), x, xh, xl, ct)
     return acc3_to_f32(acc)
+
+
+# ---------------------------------------------------------------------------
+# RN64: round an exact f32 expansion to the f64 grid (53-bit significand)
+# ---------------------------------------------------------------------------
+# Needed where the reference's f64 rounding is itself decisive: at near-dyadic
+# FFT twiddle columns (fft.js stage-2-style w = (eps, -1)), butterfly outputs
+# land exactly on f32-store midpoints and the JS's RN64 quantization of the
+# tiny tie-breaking term decides the stored bit.  Computing "more exactly
+# than f64" gives a DIFFERENT answer there, so those chains must reproduce
+# RN64 itself.  The value is returned as a list of exact f32 terms whose sum
+# is the f64-rounded value.
+
+def _vec_sum(terms):
+    """One error-free distillation sweep: same exact sum, more ordered."""
+    s = terms[0]
+    out = []
+    for t in terms[1:]:
+        s, e = two_sum(s, t)
+        out.append(e)
+    return [s] + out
+
+
+def _distill_pass(x):
+    """One distillation sweep over the leading (term) axis, smallest-first.
+
+    Exactly _vec_sum applied to the reversed term list, as a lax.scan so the
+    emitted HLO stays small (the unrolled form made XLA compiles explode).
+    Expansions are TERM-MAJOR ([T, ...]): the big data axes stay minor, so
+    every sweep is a full-width VPU op (a trailing term axis left the lanes
+    ~5% utilized and cost three orders of magnitude of throughput).
+    A sweep leaves [big, residues...]; feeding residues first lets them merge
+    with each other before meeting the big term."""
+
+    def body(carry, t):
+        s, e = two_sum(t, carry)
+        return s, e
+
+    s, es = lax.scan(body, x[-1], x[:-1], reverse=True)
+    return jnp.concatenate([s[None], jnp.flip(es, axis=0)], axis=0)
+
+
+def _distill(x, passes=4):
+    """Error-free compaction toward a nonoverlapping expansion ([T, ...])."""
+    return lax.fori_loop(0, passes, lambda _, v: _distill_pass(v), x)
+
+
+def _bubble_pass(x):
+    """One bottom-up adjacent-pair two_sum sweep over the leading axis: the
+    carry climbs to slot 0, residues stay one slot below their pair."""
+
+    def body(carry, t):
+        s, e = two_sum(t, carry)
+        return s, e
+
+    s, es = lax.scan(body, x[-1], x[:-1], reverse=True)
+    return jnp.concatenate([s[None], es], axis=0)
+
+
+def _compress(x, k):
+    """Exact compaction of an expansion [T, ...] into its top-k slots.
+
+    T bottom-up sweeps: each moves every stranded low-order residue (and
+    interleaved zero) at least one slot up, so the value packs into
+    nonoverlapping leading slots and x[k:] are exact zeros whenever the
+    value fits in k components (a 53-bit RN64 result needs 3)."""
+    x = lax.fori_loop(0, x.shape[0], lambda _, v: _bubble_pass(v), x)
+    return x[:k]
+
+
+def _round_half_even(x):
+    return lax.round(x, lax.RoundingMethod.TO_NEAREST_EVEN)
+
+
+def _parity(n):
+    """n mod 2 for integer-valued f32 (f32 integers >= 2^24 are even)."""
+    small = jnp.abs(n) < 16777216.0
+    half = jnp.where(small, n, 0.0) * 0.5
+    return jnp.where(small, jnp.abs(half - _round_half_even(half)) * 2.0, 0.0)
+
+
+def rn64(terms):
+    """Exact-expansion -> f64-rounded value, as a list of 3 exact f32 terms.
+
+    Input: a list of exact f32 terms, or a TERM-MAJOR [T, ...] array.
+    Output: 4 exact f32 components (term-major), sum == the f64 value.
+    Emulates IEEE round-to-nearest-even at 53 bits by integerizing the value
+    in grid units g = 2^(exp - 52) (all scalings by g are exact power-of-two
+    multiplies).  Corner handling:
+      * |v| < 2^-63: passed through unrounded — such values only arise here
+        from cancellation, which strips significant bits, so they are already
+        f64-exact; and their grid would leave the f32 exponent range.
+      * leading-term exponent overestimates v's by 1 in a ~2^-52-relative
+        window below binade boundaries (grid twice too coarse there); the
+        resulting deviation window is far below every downstream store's
+        sensitivity.
+    """
+    x = jnp.stack(jnp.broadcast_arrays(*terms), axis=0) if isinstance(terms, (list, tuple)) else terms
+    ts = _distill(x, passes=3)             # [T, ...], ts[0] dominant
+    e0 = ts[0]
+    bits = lax.bitcast_convert_type(e0, jnp.int32)
+    exp_bits = jnp.bitwise_and(bits, jnp.int32(0x7F800000))
+    # g = 2^(e-52), 1/g = 2^(52-e); passthrough if e_biased < 64 (|v| < 2^-63)
+    ok = exp_bits >= (64 << 23)
+    safe_exp = jnp.where(ok, exp_bits, jnp.int32(127 << 23))
+    g = lax.bitcast_convert_type(safe_exp - (52 << 23), jnp.float32)
+    inv_g = lax.bitcast_convert_type((254 << 23) - (safe_exp - (52 << 23)), jnp.float32)
+
+    # integerize the head; everything below ts[3] is pure fraction material
+    y = ts * inv_g                          # exact power-of-two scaling
+    r_head = _round_half_even(y[:4])
+    ns = [r_head[i] for i in range(min(4, y.shape[0]))]
+    fracs = jnp.concatenate([y[:4] - r_head, y[4:]], axis=0)
+    # two more carry-extraction rounds: |Σfracs| can reach ~T/2, and the
+    # extraction must be error-free down to the tie bit
+    for _ in range(2):
+        fracs = _distill(fracs, passes=2)
+        r = _round_half_even(fracs[0])
+        ns.append(r)
+        fracs = jnp.concatenate([(fracs[0] - r)[None], fracs[1:]], axis=0)
+    f = _distill(fracs, passes=2)
+    f_hi = f[0]
+    rest = jnp.sum(f[1:], axis=0)           # sign carrier only (nonoverlapping)
+    parity = _parity(ns[0])
+    for n_ in ns[1:]:
+        parity = jnp.abs(parity - _parity(n_))
+    up = (f_hi == 0.5) & ((rest > 0) | ((rest == 0) & (parity == 1.0)))
+    dn = (f_hi == -0.5) & ((rest < 0) | ((rest == 0) & (parity == 1.0)))
+    adj = jnp.where((f_hi > 0.5) | up, 1.0, jnp.where((f_hi < -0.5) | dn, -1.0, 0.0))
+    ns.append(adj.astype(jnp.float32))
+
+    # recompose: each n_i is an integer-valued f32 (<=24-bit mantissa), so
+    # n_i * g is an exact power-of-two rescale.  A 53-bit value packs into
+    # 3 f32s once fully compressed; 4 kept slots leave headroom (validated
+    # against math.fsum in tests/test_df.py).  The |v| < 2^-63 passthrough
+    # is selected per-element at the end so its zeros never lengthen the
+    # compression.
+    comp = _compress(jnp.stack(ns, axis=0) * g, 4)
+    width = min(4, ts.shape[0])
+    pas = jnp.concatenate(
+        [ts[:width], jnp.zeros((4 - width,) + ts.shape[1:], ts.dtype)], axis=0
+    )
+    out = jnp.where(ok, comp, pas)
+    return [out[i] for i in range(4)]

@@ -40,6 +40,7 @@ from carta1_tpu.ops.df import (
     acc3_to_f32,
     acc3_zero,
     dekker_split_const,
+    rn64,
     split,
     two_prod,
     two_prod_presplit,
@@ -87,12 +88,108 @@ def _bit_reverse(x: jnp.ndarray) -> jnp.ndarray:
     return y.transpose(axes).reshape(lead + (n,))
 
 
+def _dist_dyadic(c: float) -> float:
+    """Distance from |c| to the nearest of {0, 1} (the hazard anchors)."""
+    a = abs(float(c))
+    return min(a, abs(a - 1.0))
+
+
 @functools.lru_cache(maxsize=None)
-def _stage_twiddles(stride: int) -> tuple[ConstTriple, ConstTriple]:
+def _stage_twiddles(stride: int) -> tuple[ConstTriple, ConstTriple, tuple[int, ...]]:
     """Per-stage twiddle triples from the reference's f64 recurrence
-    (fft.js:42-65 — NOT the closed form; the last-ulp drift matters)."""
+    (fft.js:42-65 — NOT the closed form; the last-ulp drift matters), plus
+    the *hazardous* column set.
+
+    A column k is hazardous when a twiddle component is within 2^-20 of
+    0 or ±1 (in practice: k = half/2, where w ≈ (6.1e-17, -1)).  There the
+    butterfly output is an exact copy of an f32 input plus a tiny
+    correction, so f32 stores land on rounding midpoints routinely and the
+    reference's own f64 rounding of the correction DECIDES the stored bit —
+    those columns must reproduce RN64, not just the exact value.  For every
+    other column the twiddle mantissas are generic, ties occur with
+    probability ~2^-29 per store, and the near-exact path matches (see
+    ops/df.py docstring for the full argument).
+    """
     tr, ti = _twiddles(stride)
-    return ConstTriple(tr), ConstTriple(ti)
+    half = stride >> 1
+    hazard = tuple(
+        k for k in range(1, half)
+        if _dist_dyadic(tr[k]) < 2.0**-20 or _dist_dyadic(ti[k]) < 2.0**-20
+    )
+    return ConstTriple(tr), ConstTriple(ti), hazard
+
+
+def _flat(pairs):
+    """(p, e) pair list -> plain term list (skipping structural Nones)."""
+    out = []
+    for p, e in pairs:
+        out.append(p)
+        if e is not None:
+            out.append(e)
+    return out
+
+
+def _neg(terms):
+    return [-t for t in terms]
+
+
+def _store_terms(terms):
+    """RN32 of an exact expansion (tie-correct); list or term-major array."""
+    if not isinstance(terms, (list, tuple)):
+        terms = [terms[i] for i in range(terms.shape[0])]
+    acc = acc3_zero(terms[0].shape)
+    for t in terms:
+        acc = acc3_add(acc, t)
+    return acc3_to_f32(acc)
+
+
+def _stack_terms(pairs):
+    """(p, e) pair list -> term-major [T, ...] expansion array."""
+    return jnp.stack(jnp.broadcast_arrays(*_flat(pairs)), axis=0)
+
+
+def _patch_col(x, k: int, col):
+    return jnp.concatenate([x[..., :k], col, x[..., k + 1 :]], axis=-1)
+
+
+def _hazard_butterfly(er, ei, orr, oi, ctr_k, cti_k):
+    """One butterfly column with the reference's full RN64 chain
+    (fft.js:52-57): t = w*o rounded per-op in f64, outputs RN32(RN64(e±t)).
+
+    The four products, two combinations and four output roundings are each
+    batched into ONE rn64 call on a stacked axis — rn64 dominates compile
+    cost, so instances matter more than elements."""
+    orh, orl = split(orr)
+    oih, oil = split(oi)
+    # group axis 1, term axis 0: the big data axes stay minor (lane-resident)
+    prods = jnp.stack(
+        [
+            _stack_terms(_mul_terms(orr, orh, orl, ctr_k)),  # or * w_re
+            _stack_terms(_mul_terms(oi, oih, oil, cti_k)),   # oi * w_im
+            _stack_terms(_mul_terms(orr, orh, orl, cti_k)),  # or * w_im
+            _stack_terms(_mul_terms(oi, oih, oil, ctr_k)),   # oi * w_re
+        ],
+        axis=1,
+    )
+    p = jnp.stack(rn64(prods), axis=0)                        # [4t, 4g, ...]
+    a, b, c, d = (p[:, i] for i in range(4))
+    comb = jnp.stack(
+        [jnp.concatenate([a, -b], axis=0), jnp.concatenate([c, d], axis=0)], axis=1
+    )
+    t = jnp.stack(rn64(comb), axis=0)                         # [4t, 2g, ...]
+    t_r, t_i = t[:, 0], t[:, 1]
+    outs = jnp.stack(
+        [
+            jnp.concatenate([er[None], t_r], axis=0),
+            jnp.concatenate([er[None], -t_r], axis=0),
+            jnp.concatenate([ei[None], t_i], axis=0),
+            jnp.concatenate([ei[None], -t_i], axis=0),
+        ],
+        axis=1,
+    )
+    o = jnp.stack(rn64(outs), axis=0)                         # [4t, 4g, ...]
+    stored = _store_terms(o)                                  # [4g, ...]
+    return (stored[0], stored[1], stored[2], stored[3])
 
 
 def fft_exact(re: jnp.ndarray, im: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -115,7 +212,7 @@ def fft_exact(re: jnp.ndarray, im: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
     stride = 4
     while stride <= n:
         half = stride >> 1
-        ctr, cti = _stage_twiddles(stride)
+        ctr, cti, hazard = _stage_twiddles(stride)
         shape = lead + (n // stride, stride)
         rev, imv = re.reshape(shape), im.reshape(shape)
         er, orr = rev[..., :half], rev[..., half:]
@@ -127,16 +224,22 @@ def fft_exact(re: jnp.ndarray, im: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
         t_or_ti = _mul_terms(orr, orh, orl, cti)   # or * w_im
         t_oi_tr = _mul_terms(oi, oih, oil, ctr)    # oi * w_re
         # t_re = or*w_re - oi*w_im ; t_im = or*w_im + oi*w_re (fft.js:52-53)
-        out_re = jnp.concatenate(
-            [_store(er, (1, t_or_tr), (-1, t_oi_ti)), _store(er, (-1, t_or_tr), (1, t_oi_ti))],
-            axis=-1,
-        )
-        out_im = jnp.concatenate(
-            [_store(ei, (1, t_or_ti), (1, t_oi_tr)), _store(ei, (-1, t_or_ti), (-1, t_oi_tr))],
-            axis=-1,
-        )
-        re = out_re.reshape(re.shape)
-        im = out_im.reshape(im.shape)
+        re_even = _store(er, (1, t_or_tr), (-1, t_oi_ti))
+        re_odd = _store(er, (-1, t_or_tr), (1, t_oi_ti))
+        im_even = _store(ei, (1, t_or_ti), (1, t_oi_tr))
+        im_odd = _store(ei, (-1, t_or_ti), (-1, t_oi_tr))
+        for k in hazard:
+            sl = np.s_[k : k + 1]
+            r0, r1, i0, i1 = _hazard_butterfly(
+                er[..., sl], ei[..., sl], orr[..., sl], oi[..., sl],
+                ctr.index(sl), cti.index(sl),
+            )
+            re_even = _patch_col(re_even, k, r0)
+            re_odd = _patch_col(re_odd, k, r1)
+            im_even = _patch_col(im_even, k, i0)
+            im_odd = _patch_col(im_odd, k, i1)
+        re = jnp.concatenate([re_even, re_odd], axis=-1).reshape(re.shape)
+        im = jnp.concatenate([im_even, im_odd], axis=-1).reshape(im.shape)
         stride <<= 1
     return re, im
 
@@ -144,11 +247,19 @@ def fft_exact(re: jnp.ndarray, im: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
 # ---------------------------------------------------------------------------
 # IMDCT (mdct.js:139-211)
 # ---------------------------------------------------------------------------
+def _assert_no_dyadic_hazard(values: np.ndarray, what: str) -> None:
+    """Constants multiplying signal outside the RN64-emulated paths must not
+    be near-dyadic (see _stage_twiddles); all current tables clear 2^-19."""
+    d = np.array([_dist_dyadic(v) for v in np.asarray(values, np.float64).ravel()])
+    assert (d > 2.0**-20).all(), f"{what}: near-dyadic constant needs the RN64 path"
+
+
 @functools.lru_cache(maxsize=None)
 def _imdct_consts(size: int) -> tuple[ConstTriple, ConstTriple, jnp.ndarray]:
     """(cos, sin) twiddle triples and the signed post-twiddle scatter matrix."""
     scale = IMDCT_SCALES[size]
     tbl = _sincos_table(size, scale)  # f64 [size/2] interleaved (cos, sin)
+    _assert_no_dyadic_hazard(tbl, f"imdct{size} sincos")
     cos_t = ConstTriple(tbl[0::2])
     sin_t = ConstTriple(tbl[1::2])
 
@@ -206,6 +317,7 @@ def imdct_exact(x: jnp.ndarray, size: int) -> jnp.ndarray:
 def _ola_windows() -> tuple[ConstTriple, ConstTriple]:
     w = C.WINDOW_SHORT  # f64 [32]
     t = C.MDCT_TAIL_WINDOW_SIZE
+    _assert_no_dyadic_hazard(w, "WINDOW_SHORT")
     return ConstTriple(w[:t]), ConstTriple(w[2 * t - 1 : t - 1 : -1])  # w1[i]=w[i], w2[i]=w[31-i]
 
 
@@ -277,6 +389,8 @@ def dequantize_exact(quantized: jnp.ndarray, sf_idx: jnp.ndarray, word_len: jnp.
 # ---------------------------------------------------------------------------
 @functools.lru_cache(maxsize=None)
 def _qmf_tap_splits() -> tuple[np.ndarray, ...]:
+    _assert_no_dyadic_hazard(C.QMF_EVEN, "QMF_EVEN")
+    _assert_no_dyadic_hazard(C.QMF_ODD, "QMF_ODD")
     eh, el = dekker_split_const(C.QMF_EVEN)
     oh, ol = dekker_split_const(C.QMF_ODD)
     return (np.asarray(C.QMF_EVEN), eh, el, np.asarray(C.QMF_ODD), oh, ol)

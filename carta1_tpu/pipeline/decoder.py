@@ -1,8 +1,15 @@
 """TPU batched decoder pipeline.
 
-One jitted function turns quantized frame data into [F, 512] PCM:
-table-driven dequantization, gather-based coefficient scatter, IMDCT as
-basis matmuls with a 16-sample tail halo, QMF synthesis as batched convs.
+One jitted function turns quantized frame data into [F, 512] PCM.  Two
+device paths share the structure (dequantize -> scatter -> per-band IMDCT
+with a 16-sample tail halo -> high-band delay -> two QMF merges):
+
+  * decode_step       — the default engine: BIT-EXACT against the reference
+    decoder's f64-compute/f32-store arithmetic, built on the error-free f32
+    expansion ops in ops/exact_decode (TPUs have no IEEE f64).
+  * decode_step_fast  — plain-f32 basis-matmul/conv path (MXU), within a
+    1-LSB int16 envelope of the reference; kept for throughput comparison
+    and as the building block of latency-insensitive bulk pipelines.
 
 Reference pipeline: codec/pipeline/decoder.js:408-411.
 """
@@ -15,6 +22,7 @@ import numpy as np
 
 from carta1_tpu import constants as C
 from carta1_tpu.framedata import FrameData
+from carta1_tpu.ops import exact_decode as X
 from carta1_tpu.ops.coding import dequantize, scatter_bfus
 from carta1_tpu.ops.mdct import decoder_imdct_band
 from carta1_tpu.ops.qmf import delay_stream, qmf_synthesis
@@ -33,7 +41,42 @@ def decoder_init_state() -> dict[str, jnp.ndarray]:
 
 
 def decode_step(fd: FrameData, state: dict) -> tuple[jnp.ndarray, dict]:
-    """Pure (trace-able) batched decode: FrameData -> (pcm [F, 512], state)."""
+    """Bit-exact batched decode: FrameData -> (pcm [F, 512], state).
+
+    Every arithmetic step reproduces gold/decoder.py (and therefore the
+    reference JavaScript) at the stored-bit level; see ops/exact_decode."""
+    deq = X.dequantize_exact(fd.quantized, fd.scale_factors, fd.word_lengths)
+    coeffs = scatter_bfus(deq, fd.block_modes, fd.n_bfu)  # [F, 512]
+
+    outs = []
+    new_tails = []
+    offset = 0
+    for b in range(3):
+        size = C.MDCT_BAND_SIZES[b]
+        out, tail = X.imdct_band_exact(
+            coeffs[:, offset:offset + size], b, fd.block_modes[:, b], state[f"tail{b}"]
+        )
+        outs.append(out)
+        new_tails.append(tail)
+        offset += size
+
+    high_delayed, high_d = delay_stream(outs[2], state["synth_high_delay"])
+    stage2, mid_d = X.qmf_synthesis_exact(outs[0], outs[1], state["synth_mid_delay"])
+    pcm, low_d = X.qmf_synthesis_exact(stage2, high_delayed, state["synth_low_delay"])
+
+    new_state = {
+        "tail0": new_tails[0],
+        "tail1": new_tails[1],
+        "tail2": new_tails[2],
+        "synth_low_delay": low_d,
+        "synth_mid_delay": mid_d,
+        "synth_high_delay": high_d,
+    }
+    return pcm, new_state
+
+
+def decode_step_fast(fd: FrameData, state: dict) -> tuple[jnp.ndarray, dict]:
+    """Fast (1-LSB-envelope) batched decode: FrameData -> (pcm, state)."""
     deq = dequantize(fd.quantized, fd.scale_factors, fd.word_lengths)
     coeffs = scatter_bfus(deq, fd.block_modes, fd.n_bfu)  # [F, 512]
 
@@ -65,9 +108,10 @@ def decode_step(fd: FrameData, state: dict) -> tuple[jnp.ndarray, dict]:
 
 
 _decode_jit = jax.jit(decode_step)
+_decode_fast_jit = jax.jit(decode_step_fast)
 
 
-def decode_frames(fd: FrameData, state: dict | None = None) -> tuple[jnp.ndarray, dict]:
+def decode_frames(fd: FrameData, state: dict | None = None, fast: bool = False) -> tuple[jnp.ndarray, dict]:
     """Public entry: decode batched FrameData on the default JAX backend."""
     if state is None:
         state = decoder_init_state()
@@ -78,4 +122,4 @@ def decode_frames(fd: FrameData, state: dict | None = None) -> tuple[jnp.ndarray
         word_lengths=jnp.asarray(np.asarray(fd.word_lengths, dtype=np.int32)),
         quantized=jnp.asarray(np.asarray(fd.quantized, dtype=np.int32)),
     )
-    return _decode_jit(fd, state)
+    return (_decode_fast_jit if fast else _decode_jit)(fd, state)

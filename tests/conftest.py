@@ -9,8 +9,23 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's x86 backend contracts mul+add into FMA at instruction selection
+# (AVX2+) even for strict HLO/LLVM IR, which silently corrupts the error-free
+# transformations the bit-exact decoder is built on (ops/df.py).  Pinning the
+# ISA below FMA support makes the CPU backend arithmetically faithful; the
+# TPU backend needs no such guard (verified on-chip, tests/test_df.py).
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=SSE4_2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# The exact decoder compiles large programs (~5 min cold on XLA:CPU); the
+# persistent cache makes every suite run after the first fast.
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

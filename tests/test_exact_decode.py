@@ -1,0 +1,123 @@
+"""Bit-exactness of the TPU engine's decoder against the gold oracle.
+
+The contract (BASELINE.md): decoded output bit-exact vs the reference
+decoder, pinned at decoded 16-bit PCM.  These tests pin the stronger
+property — bitwise-equal float32 PCM — op by op and end to end.  The gold
+package reproduces the reference JavaScript's arithmetic exactly, so
+equality here is equality with carta1 itself.
+
+Run on the CPU backend these tests validate the arithmetic design (with
+conftest's FMA-free ISA pin); verify_tpu.py re-asserts the same equalities
+compiled for the real chip.
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from carta1_tpu.framedata import FrameData
+from carta1_tpu.gold import gold_decode_frames, gold_encode_frames
+from carta1_tpu.gold.coding import dequantize_js
+from carta1_tpu.gold.fftjs import fft_js
+from carta1_tpu.gold.transforms import imdct, overlap_add_js, qmf_synthesis_stream
+from carta1_tpu.io import aea
+from carta1_tpu.io.bitstream_np import unpack_frames
+from carta1_tpu.io.wav import float_to_int16
+from carta1_tpu.ops.exact_decode import (
+    dequantize_exact,
+    fft_exact,
+    imdct_exact,
+    overlap_add_exact,
+    qmf_synthesis_exact,
+)
+from carta1_tpu.pipeline.decoder import decode_frames
+
+from signals import sine, white_noise
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+rng = np.random.default_rng(1789)
+
+
+def _bits_equal(a, b) -> bool:
+    a, b = np.asarray(a), np.asarray(b)
+    return bool(((a.view(np.int32) == b.view(np.int32)) | ((a == 0) & (b == 0))).all())
+
+
+@pytest.mark.parametrize("n", [16, 64, 128])
+def test_fft_exact_bitwise(n):
+    re = (rng.standard_normal((40, n)) * np.exp2(rng.integers(-8, 8, (40, n)))).astype(np.float32)
+    im = rng.standard_normal((40, n)).astype(np.float32)
+    gr, gi = fft_js(re, im)
+    xr, xi = jax.jit(fft_exact)(re, im)
+    assert _bits_equal(xr, gr) and _bits_equal(xi, gi)
+
+
+@pytest.mark.parametrize("size", [64, 256, 512])
+def test_imdct_exact_bitwise(size):
+    x = (rng.standard_normal((20, size // 2)) * np.exp2(rng.integers(-10, 4, (20, size // 2)))).astype(np.float32)
+    assert _bits_equal(jax.jit(lambda v: imdct_exact(v, size))(x), imdct(x, size))
+
+
+def test_overlap_add_exact_bitwise():
+    p = rng.standard_normal((200, 16)).astype(np.float32)
+    c = rng.standard_normal((200, 16)).astype(np.float32)
+    assert _bits_equal(jax.jit(overlap_add_exact)(p, c), overlap_add_js(p, c))
+
+
+def test_dequantize_exact_bitwise():
+    from carta1_tpu.constants import WORD_LENGTH_BITS
+
+    q = rng.integers(-32767, 32768, (64, 52, 20)).astype(np.int32)
+    sf = rng.integers(0, 64, (64, 52)).astype(np.int32)
+    wl = rng.integers(0, 16, (64, 52)).astype(np.int32)
+    r = (1 << np.maximum(WORD_LENGTH_BITS[wl] - 1, 0)) - 1
+    q = np.clip(q, -r[..., None], r[..., None]).astype(np.int32)
+    assert _bits_equal(jax.jit(dequantize_exact)(q, sf, wl), dequantize_js(q, sf, wl))
+
+
+def test_qmf_synthesis_exact_bitwise():
+    low = rng.standard_normal((40, 256)).astype(np.float32)
+    high = rng.standard_normal((40, 256)).astype(np.float32)
+    delay = rng.standard_normal(46).astype(np.float32)
+    g_out, g_d = qmf_synthesis_stream(low.reshape(-1), high.reshape(-1), delay)
+    e_out, e_d = jax.jit(qmf_synthesis_exact)(low, high, delay)
+    assert _bits_equal(e_out, g_out.reshape(40, 512)) and _bits_equal(e_d, g_d)
+
+
+def test_decode_frames_bitwise_golden_fixture():
+    """The headline contract on the pinned fixture: f32-bitwise, therefore
+    int16-bit-exact, including carried stream state."""
+    _, units = aea.read_aea(os.path.join(FIXTURES, "golden.aea"))
+    fd = unpack_frames(units)
+    pcm, st = decode_frames(fd)
+    gpcm, gst = gold_decode_frames(fd)
+    assert _bits_equal(pcm, gpcm)
+    d = np.abs(
+        float_to_int16(np.asarray(pcm).reshape(-1)).astype(np.int32)
+        - float_to_int16(gpcm.reshape(-1)).astype(np.int32)
+    )
+    assert d.max() == 0
+    for k in gst:
+        assert _bits_equal(st[k], gst[k]), k
+
+
+def test_decode_frames_bitwise_random_stream_chunked():
+    """Encode 2 s of adversarial material, decode in uneven chunks with
+    state carry, and require bitwise equality with gold throughout."""
+    n = 2 * 44100
+    sig = 0.5 * sine(440, length=n) + 0.2 * white_noise(3, n)
+    sig[30000:30512] += 0.4  # force short blocks
+    sig = np.clip(sig, -1, 1).astype(np.float32)
+    frames = np.zeros((-(-n // 512) * 512,), np.float32)
+    frames[:n] = sig
+    fd, _ = gold_encode_frames(frames.reshape(-1, 512))
+
+    gpcm, _ = gold_decode_frames(fd)
+    state = None
+    outs = []
+    for lo, hi in ((0, 37), (37, 100), (100, fd.num_frames)):
+        pcm, state = decode_frames(fd[slice(lo, hi)], state)
+        outs.append(np.asarray(pcm))
+    assert _bits_equal(np.concatenate(outs), gpcm)
