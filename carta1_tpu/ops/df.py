@@ -183,11 +183,21 @@ class ConstTriple:
         self.c1h, self.c1l = dekker_split_const(self.c1)
         self.c2h, self.c2l = dekker_split_const(self.c2)
 
+    _COMPONENTS = ("c0", "c1", "c2", "c0h", "c0l", "c1h", "c1l", "c2h", "c2l")
+
     def index(self, idx: np.ndarray) -> "ConstTriple":
         """Static reindexing (host-time) of all components."""
         out = object.__new__(ConstTriple)
-        for name in ("c0", "c1", "c2", "c0h", "c0l", "c1h", "c1l", "c2h", "c2l"):
+        for name in self._COMPONENTS:
             setattr(out, name, np.asarray(getattr(self, name))[idx])
+        return out
+
+    def reshape(self, shape) -> "ConstTriple":
+        """Static reshape (host-time) of all components, for broadcasting
+        against data whose layout keeps the batch axis minor."""
+        out = object.__new__(ConstTriple)
+        for name in self._COMPONENTS:
+            setattr(out, name, np.asarray(getattr(self, name)).reshape(shape))
         return out
 
 
@@ -235,51 +245,78 @@ def _vec_sum(terms):
     return [s] + out
 
 
-def _distill_pass(x):
-    """One distillation sweep over the leading (term) axis, smallest-first.
+def _distill_pass(ts):
+    """One distillation sweep (smallest-first) over a term list.
 
-    Exactly _vec_sum applied to the reversed term list, as a lax.scan so the
-    emitted HLO stays small (the unrolled form made XLA compiles explode).
-    Expansions are TERM-MAJOR ([T, ...]): the big data axes stay minor, so
-    every sweep is a full-width VPU op (a trailing term axis left the lanes
-    ~5% utilized and cost three orders of magnitude of throughput).
-    A sweep leaves [big, residues...]; feeding residues first lets them merge
-    with each other before meeting the big term."""
+    A sweep leaves [big, residues...]; feeding residues first lets them
+    merge with each other before meeting the big term.  Fully unrolled:
+    with rn64 call sites batched (see exact_decode._hazard_butterfly) the
+    instance count is small, and on the TPU each lax.scan/while carried
+    ~0.1-0.8 ms fixed overhead - hundreds of them made the decoder
+    loop-bound (measured 48 ms/step of which <~10 ms was arithmetic)."""
+    rev = ts[::-1]
+    s = rev[0]
+    out = []
+    for t in rev[1:]:
+        s, e = two_sum(t, s)
+        out.append(e)
+    return [s] + out[::-1]
+
+
+def _unroll_sweeps() -> bool:
+    """Unrolled sweeps on accelerators, lax loops on CPU.
+
+    Both forms run the identical two_sum sequence (two_sum is exact, so the
+    values are bit-identical); they differ only in emitted-code shape.  On
+    TPU every while loop carries ~0.1-0.8 ms fixed overhead and the decoder
+    has hundreds of sweeps (unrolled: 44 ms/4096-frame step vs 73 ms), while
+    on XLA:CPU the unrolled form blows compile time up ~20x (139 s vs 7 s
+    for one small FFT).  Decided at trace time from the default backend."""
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def _scan_sweep(x, bubble: bool):
+    """One sweep over the leading (term) axis of a stacked expansion."""
 
     def body(carry, t):
         s, e = two_sum(t, carry)
         return s, e
 
     s, es = lax.scan(body, x[-1], x[:-1], reverse=True)
-    return jnp.concatenate([s[None], jnp.flip(es, axis=0)], axis=0)
+    tail = es if bubble else jnp.flip(es, axis=0)
+    return jnp.concatenate([s[None], tail], axis=0)
 
 
-def _distill(x, passes=4):
-    """Error-free compaction toward a nonoverlapping expansion ([T, ...])."""
-    return lax.fori_loop(0, passes, lambda _, v: _distill_pass(v), x)
+def _distill(ts, passes=4):
+    """Error-free compaction toward a nonoverlapping expansion (term list)."""
+    if _unroll_sweeps():
+        for _ in range(passes):
+            ts = _distill_pass(ts)
+        return ts
+    x = jnp.stack(jnp.broadcast_arrays(*ts), axis=0)
+    x = lax.fori_loop(0, passes, lambda _, v: _scan_sweep(v, False), x)
+    return [x[i] for i in range(x.shape[0])]
 
 
-def _bubble_pass(x):
-    """One bottom-up adjacent-pair two_sum sweep over the leading axis: the
-    carry climbs to slot 0, residues stay one slot below their pair."""
+def _compress(ts, k):
+    """Exact compaction of an expansion (term list) into its top-k slots.
 
-    def body(carry, t):
-        s, e = two_sum(t, carry)
-        return s, e
-
-    s, es = lax.scan(body, x[-1], x[:-1], reverse=True)
-    return jnp.concatenate([s[None], es], axis=0)
-
-
-def _compress(x, k):
-    """Exact compaction of an expansion [T, ...] into its top-k slots.
-
-    T bottom-up sweeps: each moves every stranded low-order residue (and
-    interleaved zero) at least one slot up, so the value packs into
-    nonoverlapping leading slots and x[k:] are exact zeros whenever the
-    value fits in k components (a 53-bit RN64 result needs 3)."""
-    x = lax.fori_loop(0, x.shape[0], lambda _, v: _bubble_pass(v), x)
-    return x[:k]
+    len(ts) bottom-up adjacent-pair sweeps: each moves every stranded
+    low-order residue (and interleaved zero) at least one slot up, so the
+    value packs into nonoverlapping leading slots and ts[k:] are exact
+    zeros whenever the value fits in k components (RN64 results need 3)."""
+    ts = list(ts)
+    n = len(ts)
+    if _unroll_sweeps():
+        for _ in range(n):
+            for i in range(n - 1, 0, -1):
+                ts[i - 1], ts[i] = two_sum(ts[i - 1], ts[i])
+        return ts[:k]
+    x = jnp.stack(jnp.broadcast_arrays(*ts), axis=0)
+    x = lax.fori_loop(0, n, lambda _, v: _scan_sweep(v, True), x)
+    return [x[i] for i in range(k)]
 
 
 def _round_half_even(x):
@@ -309,8 +346,11 @@ def rn64(terms):
         resulting deviation window is far below every downstream store's
         sensitivity.
     """
-    x = jnp.stack(jnp.broadcast_arrays(*terms), axis=0) if isinstance(terms, (list, tuple)) else terms
-    ts = _distill(x, passes=3)             # [T, ...], ts[0] dominant
+    if isinstance(terms, (list, tuple)):
+        ts = list(jnp.broadcast_arrays(*terms))
+    else:
+        ts = [terms[i] for i in range(terms.shape[0])]
+    ts = _distill(ts, passes=3)            # ts[0] dominant
     e0 = ts[0]
     bits = lax.bitcast_convert_type(e0, jnp.int32)
     exp_bits = jnp.bitwise_and(bits, jnp.int32(0x7F800000))
@@ -321,20 +361,26 @@ def rn64(terms):
     inv_g = lax.bitcast_convert_type((254 << 23) - (safe_exp - (52 << 23)), jnp.float32)
 
     # integerize the head; everything below ts[3] is pure fraction material
-    y = ts * inv_g                          # exact power-of-two scaling
-    r_head = _round_half_even(y[:4])
-    ns = [r_head[i] for i in range(min(4, y.shape[0]))]
-    fracs = jnp.concatenate([y[:4] - r_head, y[4:]], axis=0)
-    # two more carry-extraction rounds: |Σfracs| can reach ~T/2, and the
+    ns, fracs = [], []
+    for t in ts[:4]:
+        y = t * inv_g                      # exact power-of-two scaling
+        r = _round_half_even(y)
+        ns.append(r)
+        fracs.append(y - r)                # exact, |.| <= 0.5
+    for t in ts[4:]:
+        fracs.append(t * inv_g)
+    # two more carry-extraction rounds: |sum(fracs)| can reach ~T/2, and the
     # extraction must be error-free down to the tie bit
     for _ in range(2):
         fracs = _distill(fracs, passes=2)
         r = _round_half_even(fracs[0])
         ns.append(r)
-        fracs = jnp.concatenate([(fracs[0] - r)[None], fracs[1:]], axis=0)
+        fracs[0] = fracs[0] - r            # exact
     f = _distill(fracs, passes=2)
     f_hi = f[0]
-    rest = jnp.sum(f[1:], axis=0)           # sign carrier only (nonoverlapping)
+    rest = f[1]
+    for t in f[2:]:
+        rest = rest + t                    # sign carrier only (nonoverlapping)
     parity = _parity(ns[0])
     for n_ in ns[1:]:
         parity = jnp.abs(parity - _parity(n_))
@@ -349,10 +395,6 @@ def rn64(terms):
     # against math.fsum in tests/test_df.py).  The |v| < 2^-63 passthrough
     # is selected per-element at the end so its zeros never lengthen the
     # compression.
-    comp = _compress(jnp.stack(ns, axis=0) * g, 4)
-    width = min(4, ts.shape[0])
-    pas = jnp.concatenate(
-        [ts[:width], jnp.zeros((4 - width,) + ts.shape[1:], ts.dtype)], axis=0
-    )
-    out = jnp.where(ok, comp, pas)
-    return [out[i] for i in range(4)]
+    comp = _compress([n_ * g for n_ in ns], 4)
+    pas = (ts[:4] + [e0 * 0.0] * 4)[:4]
+    return [jnp.where(ok, a, b) for a, b in zip(comp, pas)]

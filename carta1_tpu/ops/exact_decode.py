@@ -51,10 +51,15 @@ from carta1_tpu.ops.df import (
 # Shared accumulation helpers
 # ---------------------------------------------------------------------------
 def _mul_terms(x, xh, xl, ct: ConstTriple):
-    """Exact term list for x * ct (f32 x, f64-constant-triple ct)."""
+    """Exact term list for x * ct (f32 x, f64-constant-triple ct).
+
+    All three products are exact TwoProds: a plain ``x * ct.c2`` would be a
+    raw float multiply feeding adds — the pattern FMA contraction corrupts
+    (see ops/df.split)."""
     p0, e0 = two_prod_presplit(x, xh, xl, ct.c0, ct.c0h, ct.c0l)
     p1, e1 = two_prod_presplit(x, xh, xl, ct.c1, ct.c1h, ct.c1l)
-    return ((p0, e0), (p1, e1), (x * ct.c2, None))
+    p2, e2 = two_prod_presplit(x, xh, xl, ct.c2, ct.c2h, ct.c2l)
+    return ((p0, e0), (p1, e1), (p2, e2))
 
 
 def _store(base, *signed_term_lists):
@@ -79,13 +84,13 @@ def _store(base, *signed_term_lists):
 # FFT (fft.js:14-68): staged radix-2 DIT with an f32 store per butterfly
 # ---------------------------------------------------------------------------
 def _bit_reverse(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact bit-reversal permutation of the last axis via digit transpose."""
-    n = x.shape[-1]
+    """Exact bit-reversal permutation of the FIRST axis via digit transpose."""
+    n = x.shape[0]
     k = n.bit_length() - 1
-    lead = x.shape[:-1]
-    y = x.reshape(lead + (2,) * k)
-    axes = tuple(range(len(lead))) + tuple(reversed(range(len(lead), len(lead) + k)))
-    return y.transpose(axes).reshape(lead + (n,))
+    tail = x.shape[1:]
+    y = x.reshape((2,) * k + tail)
+    axes = tuple(reversed(range(k))) + tuple(range(k, k + len(tail)))
+    return y.transpose(axes).reshape((n,) + tail)
 
 
 def _dist_dyadic(c: float) -> float:
@@ -149,7 +154,8 @@ def _stack_terms(pairs):
 
 
 def _patch_col(x, k: int, col):
-    return jnp.concatenate([x[..., :k], col, x[..., k + 1 :]], axis=-1)
+    """Replace column k of the butterfly axis (axis 1 of [m, half, B])."""
+    return jnp.concatenate([x[:, :k], col, x[:, k + 1 :]], axis=1)
 
 
 def _hazard_butterfly(er, ei, orr, oi, ctr_k, cti_k):
@@ -192,37 +198,42 @@ def _hazard_butterfly(er, ei, orr, oi, ctr_k, cti_k):
     return (stored[0], stored[1], stored[2], stored[3])
 
 
-def fft_exact(re: jnp.ndarray, im: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched FFT over the last axis, bit-identical to gold.fftjs.fft_js
-    on float32 inputs."""
-    n = re.shape[-1]
-    lead = re.shape[:-1]
+def _fft_exact_pm(re: jnp.ndarray, im: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Position-major FFT core: re, im are [n, B].
+
+    Keeping the batch axis minor means every stage's [m, half, B] ops run
+    with full VPU lanes; the earlier [..., m, stride] layout left the lanes
+    mostly idle (stride as small as 4) and cost ~50x throughput."""
+    n = re.shape[0]
+    b = re.shape[1:]
     re = _bit_reverse(re)
     im = _bit_reverse(im)
 
     # stride 2: twiddle is exactly (1, 0) -> plain f32 butterflies (the f64
     # compute / f32 store of a single add double-rounds innocuously: 53 >= 2*24+2)
-    shape = lead + (n // 2, 2)
+    shape = (n // 2, 2) + b
     rev, imv = re.reshape(shape), im.reshape(shape)
-    er, orr = rev[..., :1], rev[..., 1:]
-    ei, oi = imv[..., :1], imv[..., 1:]
-    re = jnp.concatenate([er + orr, er - orr], axis=-1).reshape(re.shape)
-    im = jnp.concatenate([ei + oi, ei - oi], axis=-1).reshape(im.shape)
+    er, orr = rev[:, :1], rev[:, 1:]
+    ei, oi = imv[:, :1], imv[:, 1:]
+    re = jnp.concatenate([er + orr, er - orr], axis=1).reshape(re.shape)
+    im = jnp.concatenate([ei + oi, ei - oi], axis=1).reshape(im.shape)
 
     stride = 4
     while stride <= n:
         half = stride >> 1
         ctr, cti, hazard = _stage_twiddles(stride)
-        shape = lead + (n // stride, stride)
+        bshape = (half,) + (1,) * len(b)
+        ctr_b, cti_b = ctr.reshape(bshape), cti.reshape(bshape)
+        shape = (n // stride, stride) + b
         rev, imv = re.reshape(shape), im.reshape(shape)
-        er, orr = rev[..., :half], rev[..., half:]
-        ei, oi = imv[..., :half], imv[..., half:]
+        er, orr = rev[:, :half], rev[:, half:]
+        ei, oi = imv[:, :half], imv[:, half:]
         orh, orl = split(orr)
         oih, oil = split(oi)
-        t_or_tr = _mul_terms(orr, orh, orl, ctr)   # or * w_re
-        t_oi_ti = _mul_terms(oi, oih, oil, cti)    # oi * w_im
-        t_or_ti = _mul_terms(orr, orh, orl, cti)   # or * w_im
-        t_oi_tr = _mul_terms(oi, oih, oil, ctr)    # oi * w_re
+        t_or_tr = _mul_terms(orr, orh, orl, ctr_b)   # or * w_re
+        t_oi_ti = _mul_terms(oi, oih, oil, cti_b)    # oi * w_im
+        t_or_ti = _mul_terms(orr, orh, orl, cti_b)   # or * w_im
+        t_oi_tr = _mul_terms(oi, oih, oil, ctr_b)    # oi * w_re
         # t_re = or*w_re - oi*w_im ; t_im = or*w_im + oi*w_re (fft.js:52-53)
         re_even = _store(er, (1, t_or_tr), (-1, t_oi_ti))
         re_odd = _store(er, (-1, t_or_tr), (1, t_oi_ti))
@@ -231,17 +242,30 @@ def fft_exact(re: jnp.ndarray, im: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
         for k in hazard:
             sl = np.s_[k : k + 1]
             r0, r1, i0, i1 = _hazard_butterfly(
-                er[..., sl], ei[..., sl], orr[..., sl], oi[..., sl],
-                ctr.index(sl), cti.index(sl),
+                er[:, sl], ei[:, sl], orr[:, sl], oi[:, sl],
+                ctr_b.index(sl), cti_b.index(sl),
             )
             re_even = _patch_col(re_even, k, r0)
             re_odd = _patch_col(re_odd, k, r1)
             im_even = _patch_col(im_even, k, i0)
             im_odd = _patch_col(im_odd, k, i1)
-        re = jnp.concatenate([re_even, re_odd], axis=-1).reshape(re.shape)
-        im = jnp.concatenate([im_even, im_odd], axis=-1).reshape(im.shape)
+        re = jnp.concatenate([re_even, re_odd], axis=1).reshape(re.shape)
+        im = jnp.concatenate([im_even, im_odd], axis=1).reshape(im.shape)
         stride <<= 1
     return re, im
+
+
+def fft_exact(re: jnp.ndarray, im: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched FFT over the last axis, bit-identical to gold.fftjs.fft_js
+    on float32 inputs."""
+    shape = re.shape
+    n = shape[-1]
+    re2 = jnp.moveaxis(re.reshape(-1, n), 0, -1)   # [n, B]
+    im2 = jnp.moveaxis(im.reshape(-1, n), 0, -1)
+    ro, io = _fft_exact_pm(re2, im2)
+    ro = jnp.moveaxis(ro, 0, -1).reshape(shape)
+    io = jnp.moveaxis(io, 0, -1).reshape(shape)
+    return ro, io
 
 
 # ---------------------------------------------------------------------------
@@ -281,33 +305,44 @@ def _imdct_consts(size: int) -> tuple[ConstTriple, ConstTriple, jnp.ndarray]:
         P[fft_size + i, quarter + idx] = 1.0
         P[fft_size + i, 5 * quarter - 1 - idx] = 1.0
     assert (np.abs(P).sum(axis=0) == 1.0).all(), "post-twiddle scatter must cover each output once"
-    return cos_t, sin_t, P  # host numpy: safe across lru_cache + jit traces
+    # transposed for the position-major core: out[size, B] = P.T @ [2fft, B]
+    return cos_t, sin_t, np.ascontiguousarray(P.T)  # host numpy (lru-safe)
 
 
 def imdct_exact(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """[..., size/2] f32 spectra -> [..., size] f32, bit-identical to
-    gold.transforms.imdct (mdct.js:139-211 with the reference scales)."""
+    gold.transforms.imdct (mdct.js:139-211 with the reference scales).
+
+    Internally position-major ([half, B]) so the batch axis stays in the
+    VPU lanes throughout (see _fft_exact_pm)."""
     half = size >> 1
     assert x.shape[-1] == half
-    cos_t, sin_t, P = _imdct_consts(size)
+    fft_size = half >> 1
+    cos_t, sin_t, p_t = _imdct_consts(size)
+    ct_c = cos_t.reshape((fft_size, 1))
+    ct_s = sin_t.reshape((fft_size, 1))
+
+    lead = x.shape[:-1]
+    x2 = jnp.moveaxis(x.reshape(-1, half), 0, -1)    # [half, B]
 
     # pre-twiddle (mdct.js:149-157): r = -x[2i], s = -x[half-1-2i]
-    a = x[..., 0::2]
-    b = jnp.flip(x[..., 1::2], axis=-1)
+    a = x2[0::2]
+    b = jnp.flip(x2[1::2], axis=0)
     r, s_ = -a, -b
     rh, rl = split(r)
     sh, sl = split(s_)
-    re = _store(None, (1, _mul_terms(s_, sh, sl, sin_t)), (1, _mul_terms(r, rh, rl, cos_t)))
-    im = _store(None, (1, _mul_terms(s_, sh, sl, cos_t)), (-1, _mul_terms(r, rh, rl, sin_t)))
+    re = _store(None, (1, _mul_terms(s_, sh, sl, ct_s)), (1, _mul_terms(r, rh, rl, ct_c)))
+    im = _store(None, (1, _mul_terms(s_, sh, sl, ct_c)), (-1, _mul_terms(r, rh, rl, ct_s)))
 
-    re, im = fft_exact(re, im)
+    re, im = _fft_exact_pm(re, im)
 
     # post-twiddle (mdct.js:168-205): r1 = re*c + im*s ; i1 = re*s - im*c
     reh, rel = split(re)
     imh, iml = split(im)
-    r1 = _store(None, (1, _mul_terms(re, reh, rel, cos_t)), (1, _mul_terms(im, imh, iml, sin_t)))
-    i1 = _store(None, (1, _mul_terms(re, reh, rel, sin_t)), (-1, _mul_terms(im, imh, iml, cos_t)))
-    return fmatmul(jnp.concatenate([r1, i1], axis=-1), P)
+    r1 = _store(None, (1, _mul_terms(re, reh, rel, ct_c)), (1, _mul_terms(im, imh, iml, ct_s)))
+    i1 = _store(None, (1, _mul_terms(re, reh, rel, ct_s)), (-1, _mul_terms(im, imh, iml, ct_c)))
+    out = fmatmul(p_t, jnp.concatenate([r1, i1], axis=0))   # [size, B]
+    return jnp.moveaxis(out, 0, -1).reshape(lead + (size,))
 
 
 # ---------------------------------------------------------------------------
@@ -339,7 +374,7 @@ class _SFView:
     """ConstTriple components looked up per-element via one-hot contraction
     (exact: 0/1 selection) and broadcast to the coefficient axis."""
 
-    __slots__ = ("c0", "c1", "c2", "c0h", "c0l", "c1h", "c1l")
+    __slots__ = ("c0", "c1", "c2", "c0h", "c0l", "c1h", "c1l", "c2h", "c2l")
 
     def __init__(self, base: ConstTriple, one_hot: jnp.ndarray):
         from carta1_tpu.ops.common import FP
@@ -356,15 +391,29 @@ def _sf_triple() -> ConstTriple:
 
 
 def dequantize_exact(quantized: jnp.ndarray, sf_idx: jnp.ndarray, word_len: jnp.ndarray) -> jnp.ndarray:
-    """int32 [..., 52, 20] -> f32, bit-identical to gold dequantize_js."""
+    """int32 [..., 52, 20] -> f32, bit-identical to gold dequantize_js.
+
+    The heavy math runs on a [..., 1040] flattening: a 20-wide minor axis
+    leaves most of the VPU lanes idle (measured ~6x slower)."""
     from carta1_tpu.ops.coding import quant_range
 
-    sf = _SFView(_sf_triple(), jax.nn.one_hot(sf_idx, 64, dtype=jnp.float32))
-    rng = quant_range(word_len)                      # int32 [..., 52]
-    active = ((rng > 0) & (sf_idx > 0))[..., None]
-    d = jnp.where(rng > 0, rng, 1).astype(jnp.float32)[..., None]
+    lead = quantized.shape[:-2]
+    nslot = quantized.shape[-2] * quantized.shape[-1]
+    width = quantized.shape[-1]
 
-    qf = quantized.astype(jnp.float32)               # exact (|q| <= 32767)
+    sf = _SFView(_sf_triple(), jax.nn.one_hot(sf_idx, 64, dtype=jnp.float32))
+    for name in _SFView.__slots__:
+        v = getattr(sf, name)  # [..., 52, 1]
+        setattr(sf, name, jnp.broadcast_to(v, v.shape[:-1] + (width,)).reshape(lead + (nslot,)))
+    rng = quant_range(word_len)                      # int32 [..., 52]
+    active = jnp.broadcast_to(
+        ((rng > 0) & (sf_idx > 0))[..., None], lead + (52, width)
+    ).reshape(lead + (nslot,))
+    d = jnp.broadcast_to(
+        jnp.where(rng > 0, rng, 1).astype(jnp.float32)[..., None], lead + (52, width)
+    ).reshape(lead + (nslot,))
+
+    qf = quantized.astype(jnp.float32).reshape(lead + (nslot,))  # exact (|q| <= 32767)
     qh, ql = split(qf)
     # v = q * sf, exact to ~2^-72 (the reference's own RN64 here is the
     # dominant deviation, ~2^-53 -> flip probability ~2^-29 per store)
@@ -381,7 +430,7 @@ def dequantize_exact(quantized: jnp.ndarray, sf_idx: jnp.ndarray, word_len: jnp.
     racc = acc3_add(acc3_add(racc, -ph2), -pe2)
     q2 = acc3_to_f32(racc) / d
     out = acc3_to_f32(acc3_add(acc3_add(acc3_zero(q0.shape), q0), q1, q2))
-    return jnp.where(active, out, 0.0)
+    return jnp.where(active, out, 0.0).reshape(lead + (52, width))
 
 
 # ---------------------------------------------------------------------------
