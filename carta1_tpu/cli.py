@@ -159,6 +159,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="Force a JAX platform (e.g. cpu); default: autodetect",
     )
     p.add_argument("--chunk-frames", type=int, default=8192, help="Frames per device batch")
+    p.add_argument(
+        "--checkpoint",
+        metavar="PATH",
+        help="Mid-stream checkpoint file: progress + codec state are snapshotted "
+        "atomically during transcode, and an interrupted run resumes from it "
+        "with byte-identical output",
+    )
     p.add_argument("--profile", metavar="DIR", help="Capture a jax.profiler device trace into DIR")
     p.add_argument("--debug-nans", action="store_true", help="Raise on any NaN produced in the device pipeline")
     p.add_argument("input", help="Input file path")
@@ -203,9 +210,9 @@ def main(argv: list[str] | None = None) -> int:
                 options = options.replace(allocation_bias=args.bias)
             title = args.title or os.path.splitext(os.path.basename(args.output))[0]
             validate_title(title)
-            from carta1_tpu.io.wav import read_wav  # header-only sample-rate check
+            from carta1_tpu.io.streams import WavStreamReader  # header-only check
 
-            info, _ = read_wav(args.input)
+            info = WavStreamReader(args.input).info
             if info.sample_rate != C.SAMPLE_RATE and not args.quiet:
                 print(
                     f"Warning: Input sample rate {info.sample_rate}Hz, expected {C.SAMPLE_RATE}Hz"
@@ -219,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
                 title=title,
                 chunk_frames=args.chunk_frames,
                 on_progress=Progress("Encoding", args.quiet),
+                checkpoint=args.checkpoint,
             )
             if not args.quiet:
                 bitrate = round(C.BITRATE_PER_CHANNEL * result.channels / 1000)
@@ -236,6 +244,7 @@ def main(argv: list[str] | None = None) -> int:
                 engine=args.engine,
                 chunk_frames=args.chunk_frames,
                 on_progress=Progress("Decoding", args.quiet),
+                checkpoint=args.checkpoint,
             )
             if not args.quiet:
                 bitrate = round(C.BITRATE_PER_CHANNEL * result.channels / 1000)

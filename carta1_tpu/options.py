@@ -67,6 +67,10 @@ class EncoderOptions:
     transient_threshold_high: float = 2.0
     allocation_bias: float = 1.0
     per_band_thresholds: bool = False  # extension; reference behavior is False
+    # "rdo": measured-distortion allocator (default; strictly >= reference
+    # quality, ops/bitalloc.allocate_bits_rdo).  "reference": the reference
+    # heap's scale-factor-proxy greedy, for output comparability.
+    allocator: str = "rdo"
 
     def __post_init__(self) -> None:
         for key, meta in OPTION_METADATA.items():
@@ -76,6 +80,8 @@ class EncoderOptions:
                 raise ValueError(
                     f"Value for {key} must be between {lo} and {hi}, got {value}"
                 )
+        if self.allocator not in ("rdo", "reference"):
+            raise ValueError(f"allocator must be 'rdo' or 'reference', got {self.allocator!r}")
 
     def replace(self, **kwargs) -> "EncoderOptions":
         return dataclasses.replace(self, **kwargs)

@@ -20,7 +20,7 @@ import numpy as np
 from carta1_tpu import constants as C
 from carta1_tpu.framedata import FrameData
 from carta1_tpu.options import EncoderOptions
-from carta1_tpu.ops.bitalloc import allocate_bits
+from carta1_tpu.ops.bitalloc import allocate_bits, allocate_bits_rdo
 from carta1_tpu.ops.coding import find_scale_factors, group_bfus, quantize
 from carta1_tpu.ops.mdct import encoder_mdct_band
 from carta1_tpu.ops.qmf import delay_stream, qmf_analysis
@@ -42,8 +42,12 @@ def encoder_init_state() -> dict[str, jnp.ndarray]:
     }
 
 
-def encode_step(pcm: jnp.ndarray, state: dict, thresholds: tuple, allocation_bias: float) -> tuple[FrameData, dict]:
-    """Pure (trace-able) batched encode: pcm [F, 512] -> (FrameData, state)."""
+def encode_step(pcm: jnp.ndarray, state: dict, thresholds: tuple, allocation_bias: float, allocator: str = "rdo") -> tuple[FrameData, dict]:
+    """Pure (trace-able) batched encode: pcm [F, 512] -> (FrameData, state).
+
+    allocator: "rdo" (default) prices word-length steps by measured
+    quantization-error reduction (>= reference quality on every measured
+    signal class); "reference" replicates the reference heap's proxy."""
     nframes = pcm.shape[0]
 
     # QMF analysis tree (encoder.js:57-96)
@@ -68,7 +72,10 @@ def encode_step(pcm: jnp.ndarray, state: dict, thresholds: tuple, allocation_bia
     # RDO + quantization (encoder.js:374-405)
     bfu = group_bfus(coeffs, modes)
     sf = find_scale_factors(bfu)
-    wl = allocate_bits(sf, allocation_bias)
+    if allocator == "rdo":
+        wl = allocate_bits_rdo(bfu, sf, allocation_bias)
+    else:
+        wl = allocate_bits(sf, allocation_bias)
     q = quantize(bfu, sf, wl)
 
     fd = FrameData(
@@ -92,9 +99,9 @@ def encode_step(pcm: jnp.ndarray, state: dict, thresholds: tuple, allocation_bia
     return fd, new_state
 
 
-@functools.partial(jax.jit, static_argnames=("thresholds", "allocation_bias"))
-def _encode_jit(pcm, state, thresholds, allocation_bias):
-    return encode_step(pcm, state, thresholds, allocation_bias)
+@functools.partial(jax.jit, static_argnames=("thresholds", "allocation_bias", "allocator"))
+def _encode_jit(pcm, state, thresholds, allocation_bias, allocator="rdo"):
+    return encode_step(pcm, state, thresholds, allocation_bias, allocator)
 
 
 def encode_frames(pcm, options: EncoderOptions | None = None, state: dict | None = None) -> tuple[FrameData, dict]:
@@ -103,4 +110,4 @@ def encode_frames(pcm, options: EncoderOptions | None = None, state: dict | None
     if state is None:
         state = encoder_init_state()
     pcm = jnp.asarray(np.ascontiguousarray(pcm, dtype=np.float32))
-    return _encode_jit(pcm, state, options.band_thresholds, options.allocation_bias)
+    return _encode_jit(pcm, state, options.band_thresholds, options.allocation_bias, options.allocator)

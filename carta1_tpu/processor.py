@@ -11,6 +11,7 @@ serializer, so they are interchangeable (including mid-stream).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Iterator
 
 import numpy as np
@@ -57,7 +58,7 @@ def _encode_batch(frames: np.ndarray, options: EncoderOptions, state, engine: st
         if state is None:
             state = jax.tree.map(lambda x: np.broadcast_to(x, (nch,) + x.shape), encoder_init_state())
         fd, new_state = jax.vmap(
-            lambda p, s: _encode_jit(p, s, options.band_thresholds, options.allocation_bias)
+            lambda p, s: _encode_jit(p, s, options.band_thresholds, options.allocation_bias, options.allocator)
         )(np.ascontiguousarray(frames, np.float32), state)
         fd = fd.to_numpy()
         return [fd[ch] for ch in range(nch)], new_state
@@ -166,6 +167,23 @@ class TranscodeResult:
     duration: float
 
 
+def _state_to_list(state, nch: int) -> list[dict[str, np.ndarray]]:
+    """Engine state -> per-channel list of numpy dicts (checkpoint form)."""
+    if state is None:
+        return []
+    if isinstance(state, list):  # exact engine
+        return [{k: np.asarray(v) for k, v in st.items()} for st in state]
+    return [{k: np.asarray(v)[ch] for k, v in state.items()} for ch in range(nch)]
+
+
+def _state_from_list(states: list[dict[str, np.ndarray]], engine: str):
+    if not states:
+        return None
+    if engine == "exact":
+        return [dict(st) for st in states]
+    return {k: np.stack([st[k] for st in states]) for k in states[0]}
+
+
 def encode_file(
     input_wav: str,
     output_aea: str,
@@ -174,17 +192,68 @@ def encode_file(
     title: str = "",
     chunk_frames: int = DEFAULT_CHUNK_FRAMES,
     on_progress: Callable[[int, int], None] | None = None,
+    checkpoint: str | None = None,
+    checkpoint_every: int = 4,
 ) -> TranscodeResult:
-    info, pcm = read_wav(input_wav)
-    if info.channels not in (1, 2):
-        raise ValueError(f"Unsupported channel count: {info.channels}")
-    units = encode_pcm(pcm, options, engine, chunk_frames, on_progress)
-    aea.write_aea(output_aea, units, title=title, channel_count=info.channels)
+    """Bounded-memory streaming encode: memmapped WAV in, incremental AEA
+    out, O(chunk) host memory regardless of file length (reference streams
+    the same way, bin/cli.js:165-354).
+
+    With `checkpoint`, progress is snapshotted atomically every
+    `checkpoint_every` chunks as (frame offset, codec-state pytree); a
+    killed run resumes mid-file and produces byte-identical output (chunk
+    boundaries are part of the checkpoint, so the jit batch split — and
+    therefore every rounding — replays identically)."""
+    from carta1_tpu.io.streams import AeaStreamWriter, StreamCheckpoint, WavStreamReader
+
+    reader = WavStreamReader(input_wav)
+    nch = reader.info.channels
+    if nch not in (1, 2):
+        raise ValueError(f"Unsupported channel count: {nch}")
+    nframes = reader.num_frames
+    options = options or EncoderOptions()
+
+    start = 0
+    state = None
+    ckpt = StreamCheckpoint(checkpoint) if checkpoint else None
+    if ckpt is not None:
+        loaded = ckpt.load()
+        if loaded is not None:
+            off, st_list, meta = loaded
+            if (
+                meta.get("input") == os.path.abspath(input_wav)
+                and meta.get("chunk_frames") == chunk_frames
+                and os.path.exists(output_aea)
+            ):
+                start, state = off, _state_from_list(st_list, engine)
+    writer = AeaStreamWriter(
+        output_aea, title=title, channel_count=nch,
+        resume_at_frame=(start * nch if start else None),
+    )
+
+    chunk_idx = 0
+    for cs in range(start, nframes, chunk_frames):
+        n = min(chunk_frames, nframes - cs)
+        chunk = reader.read_frames(cs, n).reshape(nch, n, C.SAMPLES_PER_FRAME)
+        fds, state = _encode_batch(chunk, options, state, engine)
+        per_ch = [pack_frames(fd) for fd in fds]
+        writer.append(per_ch[0] if nch == 1 else aea.interleave_stereo(per_ch[0], per_ch[1]))
+        chunk_idx += 1
+        if ckpt is not None and (chunk_idx % checkpoint_every == 0):
+            writer.flush()
+            ckpt.save(cs + n, _state_to_list(state, nch),
+                      {"input": os.path.abspath(input_wav), "chunk_frames": chunk_frames})
+        if on_progress:
+            on_progress(cs + n, nframes)
+    total_units = writer.frames_written
+    writer.close()
+    if ckpt is not None:
+        ckpt.remove()
     return TranscodeResult(
-        frames=units.shape[0],
-        channels=info.channels,
-        samples=info.num_samples,
-        duration=info.duration,
+        frames=total_units,
+        channels=nch,
+        samples=reader.info.num_samples,
+        duration=reader.info.duration,
     )
 
 
@@ -194,17 +263,67 @@ def decode_file(
     engine: str = "tpu",
     chunk_frames: int = DEFAULT_CHUNK_FRAMES,
     on_progress: Callable[[int, int], None] | None = None,
+    checkpoint: str | None = None,
+    checkpoint_every: int = 4,
 ) -> TranscodeResult:
-    meta, units = aea.read_aea(input_aea)
-    if meta.channel_count not in (1, 2):
-        raise ValueError(f"Unsupported channel count: {meta.channel_count}")
-    pcm = decode_units(units, meta.channel_count, engine, chunk_frames, on_progress)
-    write_wav(output_wav, pcm)
+    """Bounded-memory streaming decode (mirror of encode_file)."""
+    from carta1_tpu.io.streams import AeaStreamReader, StreamCheckpoint, WavStreamWriter
+
+    reader = AeaStreamReader(input_aea)
+    nch = reader.meta.channel_count
+    if nch not in (1, 2):
+        raise ValueError(f"Unsupported channel count: {nch}")
+    total_units = reader.num_units
+    # odd stereo unit counts get a silent dummy tail frame (processor.js:201-211)
+    pad_unit = total_units % 2 == 1 and nch == 2
+    frames_per_ch = (total_units + (1 if pad_unit else 0)) // nch
+
+    start = 0
+    state = None
+    ckpt = StreamCheckpoint(checkpoint) if checkpoint else None
+    if ckpt is not None:
+        loaded = ckpt.load()
+        if loaded is not None:
+            off, st_list, meta = loaded
+            if (
+                meta.get("input") == os.path.abspath(input_aea)
+                and meta.get("chunk_frames") == chunk_frames
+                and os.path.exists(output_wav)
+            ):
+                start, state = off, _state_from_list(st_list, engine)
+    writer = WavStreamWriter(
+        output_wav, channels=nch,
+        resume_at_samples=(start * C.SAMPLES_PER_FRAME if start else None),
+    )
+
+    chunk_idx = 0
+    for cs in range(start, frames_per_ch, chunk_frames):
+        n = min(chunk_frames, frames_per_ch - cs)
+        if nch == 1:
+            chans = [reader.read_units(cs, n)]
+        else:
+            raw = reader.read_units(2 * cs, 2 * n)
+            if raw.shape[0] % 2 == 1:  # padded tail
+                raw = np.concatenate([raw, pack_frames(FrameData.zeros(1))])
+            chans = list(aea.deinterleave_stereo(raw))
+        fds = [unpack_frames(ch) for ch in chans]
+        pcm, state = _decode_batch(fds, state, engine)
+        writer.append(pcm.reshape(nch, -1))
+        chunk_idx += 1
+        if ckpt is not None and (chunk_idx % checkpoint_every == 0):
+            ckpt.save(cs + n, _state_to_list(state, nch),
+                      {"input": os.path.abspath(input_aea), "chunk_frames": chunk_frames})
+        if on_progress:
+            on_progress(cs + n, frames_per_ch)
+    samples = frames_per_ch * C.SAMPLES_PER_FRAME
+    writer.close()
+    if ckpt is not None:
+        ckpt.remove()
     return TranscodeResult(
-        frames=units.shape[0],
-        channels=meta.channel_count,
-        samples=pcm.shape[1],
-        duration=pcm.shape[1] / C.SAMPLE_RATE,
+        frames=total_units,
+        channels=nch,
+        samples=samples,
+        duration=samples / C.SAMPLE_RATE,
     )
 
 
@@ -240,7 +359,7 @@ def encode_clips(
         encoder_init_state(),
     )
     fd, _ = jax.vmap(
-        lambda p, s: _encode_jit(p, s, options.band_thresholds, options.allocation_bias)
+        lambda p, s: _encode_jit(p, s, options.band_thresholds, options.allocation_bias, options.allocator)
     )(batch, state)
     fd = fd.to_numpy()
 

@@ -47,12 +47,21 @@ def test_exact_decode_int16_is_stable():
     assert np.array_equal(int16, golden["int16"])
 
 
-def test_tpu_decode_within_envelope_of_golden():
-    """The fast engine must stay inside the documented 1-LSB envelope of the
-    pinned golden decode."""
+def test_tpu_decode_bit_exact_against_golden():
+    """The default (bit-exact) device decoder reproduces the pinned golden
+    int16 PCM exactly — the BASELINE decode contract."""
     _, units = aea.read_aea(os.path.join(FIXTURES, "golden.aea"))
     golden = np.load(os.path.join(FIXTURES, "golden_decode.npz"))
     pcm, _ = decode_frames(unpack_frames(units))
+    int16 = float_to_int16(np.asarray(pcm).reshape(-1))
+    assert np.array_equal(int16, golden["int16"])
+
+
+def test_tpu_fast_decode_within_envelope_of_golden():
+    """The optional fast engine stays inside its documented 1-LSB envelope."""
+    _, units = aea.read_aea(os.path.join(FIXTURES, "golden.aea"))
+    golden = np.load(os.path.join(FIXTURES, "golden_decode.npz"))
+    pcm, _ = decode_frames(unpack_frames(units), fast=True)
     int16 = float_to_int16(np.asarray(pcm).reshape(-1))
     d = np.abs(int16.astype(np.int32) - golden["int16"].astype(np.int32))
     assert d.max() <= 1

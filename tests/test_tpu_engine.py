@@ -141,9 +141,13 @@ def test_rdo_budget_invariant(bias):
 
 
 def test_full_encode_matches_gold_modes_and_scalefactors():
+    from carta1_tpu.options import EncoderOptions
+
     pcm = _signal(12, seed=3)
     fd_gold, _ = gold_encode_frames(pcm)
-    fd_tpu, _ = encode_frames(pcm)
+    # reference allocator mode: this test pins reference comparability (the
+    # default "rdo" allocator intentionally spends the budget differently)
+    fd_tpu, _ = encode_frames(pcm, EncoderOptions(allocator="reference"))
     fd_tpu = fd_tpu.to_numpy()
     assert np.array_equal(fd_tpu.block_modes, fd_gold.block_modes)
     assert np.array_equal(fd_tpu.scale_factors, fd_gold.scale_factors)
@@ -180,21 +184,20 @@ def test_encode_quality_not_below_gold():
         err = out.astype(np.float64) - src.astype(np.float64)
         return 10 * np.log10(np.mean(src.astype(np.float64) ** 2) / np.mean(err**2))
 
-    assert snr(out_tpu) >= snr(out_gold) - 0.1
+    # zero slack: the measured-distortion RDO allocator makes the TPU
+    # encoder strictly >= the reference on every measured signal class
+    assert snr(out_tpu) >= snr(out_gold)
 
 
-def test_full_decode_close_to_gold():
+def test_full_decode_bitwise_gold():
     pcm = _signal(12, seed=4)
     fd, _ = gold_encode_frames(pcm)
     want, _ = gold_decode_frames(fd)
     got, _ = decode_frames(fd)
     got = np.asarray(got)
-    np.testing.assert_allclose(got, want, atol=3e-5)
-    # int16-pinned comparison: at most 1 LSB, on a small fraction of samples
-    gi, wi = float_to_int16(got), float_to_int16(want)
-    diff = np.abs(gi.astype(np.int32) - wi.astype(np.int32))
-    assert diff.max() <= 1
-    assert (diff != 0).mean() < 0.01
+    # the default decoder is BIT-EXACT against gold (f32, hence int16)
+    eq = (got.view(np.int32) == want.view(np.int32)) | ((got == 0) & (want == 0))
+    assert eq.all()
 
 
 def test_roundtrip_tpu_only():
