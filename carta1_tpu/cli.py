@@ -75,7 +75,12 @@ def dump_json(input_aea: str, output_json: str, quiet: bool) -> None:
         header = f.read(C.AEA_HEADER_SIZE)
     meta = aea.parse_header(header)
     _, units = aea.read_aea(input_aea)
-    frame_count = units.shape[0]
+    # the reference dump iterates the HEADER's frame count and records an
+    # error entry for every unit the file can't actually supply
+    # (deserializeFrame throws on short reads, cli.js:581-593); read_aea
+    # already dropped trailing partials, so those indexes become errors
+    frame_count = max(meta.frame_count, units.shape[0]) if meta.frame_count else units.shape[0]
+    available = units.shape[0]
 
     dump = {
         "file": {
@@ -99,7 +104,25 @@ def dump_json(input_aea: str, output_json: str, quiet: bool) -> None:
 
     fd = unpack_frames(units)
     sizes = C.SPECS_PER_BFU
+    # structural-overrun extension: the reference's bit reader silently
+    # truncates fields at the unit boundary (bitstream.js:24,55); flag units
+    # whose declared layout doesn't fit the 1696-bit sound unit
+    wl_bits = C.WORD_LENGTH_BITS[fd.word_lengths]
+    declared_bits = (
+        C.FRAME_HEADER_BITS
+        + 10 * fd.n_bfu
+        + (wl_bits * sizes[None, :]).sum(axis=1)
+    )
+    overrun = declared_bits > C.FRAME_BITS
     for i in range(frame_count):
+        if i >= available:
+            dump["frames"].append({
+                "index": i,
+                "offset": C.AEA_HEADER_SIZE + i * C.SOUND_UNIT_SIZE,
+                "offsetHex": hex(C.AEA_HEADER_SIZE + i * C.SOUND_UNIT_SIZE),
+                "error": f"Frame must be {C.SOUND_UNIT_SIZE} bytes",
+            })
+            continue
         n = int(fd.n_bfu[i])
         sf = fd.scale_factors[i, :n]
         wl = fd.word_lengths[i, :n]
@@ -115,24 +138,34 @@ def dump_json(input_aea: str, output_json: str, quiet: bool) -> None:
             "hasNonZeroWordLengths": bool((wl > 0).any()),
             "hasCoefficients": bool((fd.quantized[i] != 0).any()),
         }
+        if overrun[i]:
+            # extension over the reference (whose reader truncates silently):
+            # the declared layout doesn't fit the sound unit
+            info["error"] = (
+                f"Coefficient data overruns sound unit "
+                f"({int(declared_bits[i])} > {C.FRAME_BITS} bits)"
+            )
         if i < 3 or i == frame_count - 1:
             info["quantizedCoefficients"] = [
                 fd.quantized[i, b, : sizes[b]].tolist() for b in range(n)
             ]
         dump["frames"].append(info)
 
-    valid = frame_count
+    # summary filters exactly like the reference (cli.js:599-609)
+    errors = sum(1 for fr in dump["frames"] if fr.get("error"))
     silent = sum(
         1
         for fr in dump["frames"]
-        if not fr["hasNonZeroScaleFactors"] and not fr["hasNonZeroWordLengths"]
+        if not fr.get("error")
+        and not fr["hasNonZeroScaleFactors"]
+        and not fr["hasNonZeroWordLengths"]
     )
     dump["summary"] = {
         "totalFrames": frame_count,
-        "validFrames": valid,
-        "errorFrames": 0,
+        "validFrames": frame_count - errors,
+        "errorFrames": errors,
         "silentFrames": silent,
-        "activeFrames": valid - silent,
+        "activeFrames": frame_count - errors - silent,
     }
     from carta1_tpu.profiling import stream_stats
 

@@ -74,12 +74,20 @@ def transcode_corpus(
     process_count: int | None = None,
     max_retries: int = 1,
     on_file_done: Callable[[str, int], None] | None = None,
+    mesh="auto",
 ) -> CorpusResult:
     """Transcode a corpus of (input, output) jobs.
 
     mode: "encode" (WAV->AEA) or "decode" (AEA->WAV).
     process_index/count default to jax.process_index()/process_count() so a
     multi-host launch automatically stripes files; single host == 1 process.
+
+    mesh: file striping (across processes) COMPOSES with frame sharding
+    (across this process's local devices): "auto" builds a mesh over
+    jax.local_devices() when more than one is present, so every file's
+    frames spread over the local chips while the corpus spreads over hosts.
+    Pass an explicit jax.sharding.Mesh, or None to keep single-device
+    compute.
     """
     if process_index is None or process_count is None:
         try:
@@ -89,6 +97,20 @@ def transcode_corpus(
             process_count = jax.process_count()
         except Exception:
             process_index, process_count = 0, 1
+
+    if mesh == "auto":
+        mesh = None
+        if engine == "tpu":
+            try:
+                import jax
+
+                local = jax.local_devices()
+                if len(local) > 1:
+                    from carta1_tpu.parallel.sharding import make_mesh
+
+                    mesh = make_mesh(local)
+            except Exception:
+                mesh = None
 
     ckpt = Checkpoint(checkpoint_path)
     my_jobs = _assigned(list(jobs), process_index, process_count)
@@ -109,11 +131,12 @@ def transcode_corpus(
                     result = encode_file(
                         input_path, output_path, options=options, engine=engine,
                         title=os.path.splitext(os.path.basename(output_path))[0],
-                        chunk_frames=chunk_frames,
+                        chunk_frames=chunk_frames, mesh=mesh,
                     )
                 elif mode == "decode":
                     result = decode_file(
-                        input_path, output_path, engine=engine, chunk_frames=chunk_frames
+                        input_path, output_path, engine=engine, chunk_frames=chunk_frames,
+                        mesh=mesh,
                     )
                 else:
                     raise ValueError(f"Unknown mode: {mode}")

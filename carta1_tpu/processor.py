@@ -36,6 +36,36 @@ def pcm_to_frames(pcm: np.ndarray) -> np.ndarray:
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_vmap_jit(thresholds, allocation_bias, allocator):
+    """jit(vmap(encode_step)) cached per option set.
+
+    vmap applied at call time re-TRACES the whole encoder graph on every
+    chunk (measured: ~5 s/chunk host time and unbounded RSS growth from
+    trace garbage on hour-long streams); building the transform once keeps
+    chunk dispatch at jit-cache-hit cost."""
+    import jax
+
+    from carta1_tpu.pipeline.encoder import encode_step
+
+    return jax.jit(
+        jax.vmap(lambda p, s: encode_step(p, s, thresholds, allocation_bias, allocator))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_vmap_jit():
+    """jit(vmap(decode_step)), built once (see _encode_vmap_jit)."""
+    import jax
+
+    from carta1_tpu.pipeline.decoder import decode_step
+
+    return jax.jit(jax.vmap(decode_step))
+
+
 def _encode_batch(frames: np.ndarray, options: EncoderOptions, state, engine: str):
     """frames: [channels, F, 512].  Returns (FrameData [channels, F, ...]
     stacked as leading axis list, new_state)."""
@@ -52,14 +82,14 @@ def _encode_batch(frames: np.ndarray, options: EncoderOptions, state, engine: st
     elif engine == "tpu":
         import jax
 
-        from carta1_tpu.pipeline.encoder import _encode_jit, encoder_init_state
+        from carta1_tpu.pipeline.encoder import encoder_init_state
 
         nch = frames.shape[0]
         if state is None:
             state = jax.tree.map(lambda x: np.broadcast_to(x, (nch,) + x.shape), encoder_init_state())
-        fd, new_state = jax.vmap(
-            lambda p, s: _encode_jit(p, s, options.band_thresholds, options.allocation_bias, options.allocator)
-        )(np.ascontiguousarray(frames, np.float32), state)
+        fd, new_state = _encode_vmap_jit(options.band_thresholds, options.allocation_bias, options.allocator)(
+            np.ascontiguousarray(frames, np.float32), state
+        )
         fd = fd.to_numpy()
         return [fd[ch] for ch in range(nch)], new_state
     raise ValueError(f"Unknown engine: {engine}")
@@ -83,7 +113,7 @@ def _decode_batch(fds: list[FrameData], state, engine: str):
         import jax
         import jax.numpy as jnp
 
-        from carta1_tpu.pipeline.decoder import _decode_jit, decoder_init_state
+        from carta1_tpu.pipeline.decoder import decoder_init_state
 
         nch = len(fds)
         if state is None:
@@ -95,7 +125,7 @@ def _decode_batch(fds: list[FrameData], state, engine: str):
             word_lengths=np.stack([fd.word_lengths for fd in fds]).astype(np.int32),
             quantized=np.stack([fd.quantized for fd in fds]).astype(np.int32),
         )
-        pcm, new_state = jax.vmap(_decode_jit)(stacked, state)
+        pcm, new_state = _decode_vmap_jit()(stacked, state)
         return np.asarray(pcm), new_state
     raise ValueError(f"Unknown engine: {engine}")
 
@@ -167,6 +197,65 @@ class TranscodeResult:
     duration: float
 
 
+_SHARD_HALO = 2  # frames of lookback that fully determine codec state
+
+
+def _encode_chunk_sharded(chunk: np.ndarray, state, options: EncoderOptions, mesh):
+    """Sharded encode of one streaming chunk with exact state carry.
+
+    Codec state after frame k is a function of raw frames k-1..k alone
+    (parallel/sharding.py), so carrying the previous chunk's last two raw
+    frames as an in-batch prefix reconstructs the stream state exactly —
+    the file-striping axis (corpus driver) and the frame-sharding axis
+    (device mesh) compose without any cross-chunk pytree plumbing.
+
+    chunk: [C, n, 512].  state: None | per-channel {"prev_pcm": [2, 512]}.
+    Returns (fds, new_state) matching _encode_batch's contract."""
+    from carta1_tpu.parallel.sharding import encode_frames_sharded
+
+    nch = chunk.shape[0]
+    fds = []
+    for ch in range(nch):
+        if state is None:
+            fd = encode_frames_sharded(chunk[ch], options, mesh)
+        else:
+            ext = np.concatenate([state[ch]["prev_pcm"], chunk[ch]])
+            fd = encode_frames_sharded(ext, options, mesh)[slice(_SHARD_HALO, None)]
+        fds.append(fd.to_numpy())
+    tail = chunk[:, -_SHARD_HALO:]
+    if tail.shape[1] < _SHARD_HALO:  # sub-halo chunk: keep carry from before
+        prev = np.stack([state[ch]["prev_pcm"] for ch in range(nch)]) if state else np.zeros((nch, _SHARD_HALO, 512), np.float32)
+        tail = np.concatenate([prev, chunk], axis=1)[:, -_SHARD_HALO:]
+    new_state = [{"prev_pcm": tail[ch]} for ch in range(nch)]
+    return fds, new_state
+
+
+def _decode_chunk_sharded(chans: list[np.ndarray], state, mesh):
+    """Sharded decode of one streaming chunk (mirror of the encode side).
+
+    chans: per-channel uint8 [n, 212].  state: None | per-channel
+    {"prev_units": [2, 212]}.  Returns (pcm [C, n, 512], new_state)."""
+    from carta1_tpu.parallel.sharding import decode_frames_sharded
+
+    outs = []
+    new_state = []
+    for ch, units in enumerate(chans):
+        if state is None:
+            fd = unpack_frames(units)
+            pcm = decode_frames_sharded(fd, mesh)
+        else:
+            ext = np.concatenate([state[ch]["prev_units"], units])
+            pcm = decode_frames_sharded(unpack_frames(ext), mesh)[_SHARD_HALO:]
+        outs.append(np.asarray(pcm))
+        if units.shape[0] >= _SHARD_HALO:
+            tail = units[-_SHARD_HALO:]
+        else:
+            prev = state[ch]["prev_units"] if state else np.zeros((_SHARD_HALO, C.SOUND_UNIT_SIZE), np.uint8)
+            tail = np.concatenate([prev, units])[-_SHARD_HALO:]
+        new_state.append({"prev_units": np.asarray(tail)})
+    return np.stack(outs), new_state
+
+
 def _state_to_list(state, nch: int) -> list[dict[str, np.ndarray]]:
     """Engine state -> per-channel list of numpy dicts (checkpoint form)."""
     if state is None:
@@ -194,6 +283,7 @@ def encode_file(
     on_progress: Callable[[int, int], None] | None = None,
     checkpoint: str | None = None,
     checkpoint_every: int = 4,
+    mesh=None,
 ) -> TranscodeResult:
     """Bounded-memory streaming encode: memmapped WAV in, incremental AEA
     out, O(chunk) host memory regardless of file length (reference streams
@@ -225,7 +315,8 @@ def encode_file(
                 and meta.get("chunk_frames") == chunk_frames
                 and os.path.exists(output_aea)
             ):
-                start, state = off, _state_from_list(st_list, engine)
+                start = off
+                state = st_list if mesh is not None else _state_from_list(st_list, engine)
     writer = AeaStreamWriter(
         output_aea, title=title, channel_count=nch,
         resume_at_frame=(start * nch if start else None),
@@ -235,7 +326,10 @@ def encode_file(
     for cs in range(start, nframes, chunk_frames):
         n = min(chunk_frames, nframes - cs)
         chunk = reader.read_frames(cs, n).reshape(nch, n, C.SAMPLES_PER_FRAME)
-        fds, state = _encode_batch(chunk, options, state, engine)
+        if mesh is not None:
+            fds, state = _encode_chunk_sharded(chunk, state, options, mesh)
+        else:
+            fds, state = _encode_batch(chunk, options, state, engine)
         per_ch = [pack_frames(fd) for fd in fds]
         writer.append(per_ch[0] if nch == 1 else aea.interleave_stereo(per_ch[0], per_ch[1]))
         chunk_idx += 1
@@ -265,6 +359,7 @@ def decode_file(
     on_progress: Callable[[int, int], None] | None = None,
     checkpoint: str | None = None,
     checkpoint_every: int = 4,
+    mesh=None,
 ) -> TranscodeResult:
     """Bounded-memory streaming decode (mirror of encode_file)."""
     from carta1_tpu.io.streams import AeaStreamReader, StreamCheckpoint, WavStreamWriter
@@ -290,7 +385,8 @@ def decode_file(
                 and meta.get("chunk_frames") == chunk_frames
                 and os.path.exists(output_wav)
             ):
-                start, state = off, _state_from_list(st_list, engine)
+                start = off
+                state = st_list if mesh is not None else _state_from_list(st_list, engine)
     writer = WavStreamWriter(
         output_wav, channels=nch,
         resume_at_samples=(start * C.SAMPLES_PER_FRAME if start else None),
@@ -306,8 +402,11 @@ def decode_file(
             if raw.shape[0] % 2 == 1:  # padded tail
                 raw = np.concatenate([raw, pack_frames(FrameData.zeros(1))])
             chans = list(aea.deinterleave_stereo(raw))
-        fds = [unpack_frames(ch) for ch in chans]
-        pcm, state = _decode_batch(fds, state, engine)
+        if mesh is not None:
+            pcm, state = _decode_chunk_sharded(chans, state, mesh)
+        else:
+            fds = [unpack_frames(ch) for ch in chans]
+            pcm, state = _decode_batch(fds, state, engine)
         writer.append(pcm.reshape(nch, -1))
         chunk_idx += 1
         if ckpt is not None and (chunk_idx % checkpoint_every == 0):
@@ -345,7 +444,7 @@ def encode_clips(
     """
     import jax
 
-    from carta1_tpu.pipeline.encoder import _encode_jit, encoder_init_state
+    from carta1_tpu.pipeline.encoder import encoder_init_state
 
     options = options or EncoderOptions()
     frame_counts = [max(1, -(-len(c) // C.SAMPLES_PER_FRAME)) for c in clips]
@@ -358,9 +457,7 @@ def encode_clips(
         lambda x: np.broadcast_to(np.asarray(x), (len(clips),) + x.shape),
         encoder_init_state(),
     )
-    fd, _ = jax.vmap(
-        lambda p, s: _encode_jit(p, s, options.band_thresholds, options.allocation_bias, options.allocator)
-    )(batch, state)
+    fd, _ = _encode_vmap_jit(options.band_thresholds, options.allocation_bias, options.allocator)(batch, state)
     fd = fd.to_numpy()
 
     out = []

@@ -117,3 +117,44 @@ def test_cli_title_validation():
         validate_title("café")
     with pytest.raises(ValueError):
         validate_title("x" * 256)
+
+
+def test_cli_json_error_frames(tmp_path):
+    """Per-frame error records + real errorFrames counts (reference
+    cli.js:581-609): a truncated trailing unit becomes an error entry, and
+    a structurally-overrunning unit is flagged (extension)."""
+    import json as _json
+
+    from carta1_tpu.cli import main
+    from carta1_tpu.io.bitstream_np import pack_frames
+    from carta1_tpu.framedata import FrameData
+    from carta1_tpu.io import aea as _aea
+
+    # 3 valid silent frames + 1 overrunning unit, then truncate a 5th
+    fd = FrameData.zeros(3)
+    units = pack_frames(fd)
+    bad = np.zeros((1, SOUND_UNIT_SIZE), np.uint8)
+    bad[0, 0] = 0x00
+    bad[0, 1] = 0xFF  # bfuIdx=7 -> nBfu 52
+    bad[0, 2:28] = 0xFF  # word lengths all 15 -> coeff bits overrun the unit
+    all_units = np.concatenate([units, bad])
+    path = str(tmp_path / "x.aea")
+    _aea.write_aea(path, all_units, channel_count=1)
+    # declare 5 frames but only supply 4.5: header count = 5, partial tail
+    raw = bytearray(open(path, "rb").read())
+    raw[260:264] = (5).to_bytes(4, "little")
+    raw += b"\x01" * 100  # partial trailing unit
+    open(path, "wb").write(bytes(raw))
+
+    out = str(tmp_path / "d.json")
+    assert main(["--json", path, out, "--quiet"]) == 0
+    dump = _json.load(open(out))
+    assert dump["summary"]["totalFrames"] == 5
+    assert dump["summary"]["errorFrames"] == 2  # overrun + short unit
+    assert dump["summary"]["validFrames"] == 3
+    assert dump["summary"]["silentFrames"] == 3
+    errs = [f for f in dump["frames"] if f.get("error")]
+    assert len(errs) == 2
+    assert any("212 bytes" in f["error"] for f in errs)
+    assert any("overruns" in f["error"] for f in errs)
+    assert all("offsetHex" in f for f in errs)
