@@ -185,6 +185,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--force", action="store_true", help="Overwrite output file if it exists")
     p.add_argument("-t", "--title", help="Custom title for AEA file metadata (encoding only)")
     p.add_argument("-b", "--bias", type=float, help="Bit allocation bias (default: 1.0)")
+    p.add_argument(
+        "--threshold-low", type=float, metavar="X",
+        help="Transient threshold, low band (default 1.0; the reference applies "
+        "this one to ALL bands unless --per-band-thresholds)",
+    )
+    p.add_argument("--threshold-mid", type=float, metavar="X", help="Transient threshold, mid band (default 1.5)")
+    p.add_argument("--threshold-high", type=float, metavar="X", help="Transient threshold, high band (default 2.0)")
+    p.add_argument(
+        "--per-band-thresholds", action="store_true",
+        help="Extension: honor the mid/high thresholds instead of the reference "
+        "quirk of applying the low threshold to every band (encoder.js:134)",
+    )
+    p.add_argument(
+        "--allocator", choices=("rdo", "reference"), default="rdo",
+        help="Bit allocator: 'rdo' prices word-length steps by measured "
+        "quantization error (better quality than the reference on every "
+        "measured signal); 'reference' replicates the reference heap's "
+        "scale-factor proxy for output comparability",
+    )
     p.add_argument("--engine", choices=("tpu", "exact"), default="tpu", help="Codec engine (default: tpu)")
     p.add_argument(
         "--platform",
@@ -238,9 +257,17 @@ def main(argv: list[str] | None = None) -> int:
         profile_ctx.__enter__()
     try:
         if args.encode:
-            options = EncoderOptions()
+            options = EncoderOptions(allocator=args.allocator)
             if args.bias is not None:
                 options = options.replace(allocation_bias=args.bias)
+            if args.threshold_low is not None:
+                options = options.replace(transient_threshold_low=args.threshold_low)
+            if args.threshold_mid is not None:
+                options = options.replace(transient_threshold_mid=args.threshold_mid)
+            if args.threshold_high is not None:
+                options = options.replace(transient_threshold_high=args.threshold_high)
+            if args.per_band_thresholds:
+                options = options.replace(per_band_thresholds=True)
             title = args.title or os.path.splitext(os.path.basename(args.output))[0]
             validate_title(title)
             from carta1_tpu.io.streams import WavStreamReader  # header-only check

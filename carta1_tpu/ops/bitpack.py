@@ -58,8 +58,10 @@ _PACK_J = (_COEFF_BASE // 16, _NHALF + 1)  # [33, 107): pack is nBfu=52 only
 # Dynamic gathers inside the full transcode program fall off XLA's fast
 # custom-call path (measured: 320k -> 26k frames/s), so the fused reduction
 # is the default; CARTA1_UNPACK_GATHER=1 re-enables the gather formulation
-# for experimentation.
+# for experimentation, CARTA1_PALLAS_DEMUX=1 the VMEM-resident Pallas kernel
+# (ops/bitpack_pallas.py; measured within noise of the XLA fusion).
 _USE_GATHER_READ = _os.environ.get("CARTA1_UNPACK_GATHER") == "1"
+_USE_PALLAS_DEMUX = _os.environ.get("CARTA1_PALLAS_DEMUX") == "1"
 
 
 def _halfwords(units: jnp.ndarray) -> jnp.ndarray:
@@ -101,6 +103,10 @@ def _read_fields(
         hi = jnp.take_along_axis(half, hc, axis=1)
         lo = jnp.take_along_axis(half, hc + 1, axis=1)
         win = (hi << 16) | lo
+    elif _USE_PALLAS_DEMUX and offsets.ndim == 2 and offsets.shape[-1] >= 128:
+        from carta1_tpu.ops.bitpack_pallas import window_reduce_pallas
+
+        win = window_reduce_pallas(win32, h, *j_range)
     else:
         win = _window_reduce(win32, h, *j_range)
     # JS reader semantics for malformed frames (bitstream.js:55): a field

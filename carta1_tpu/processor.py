@@ -41,34 +41,46 @@ import functools
 
 @functools.lru_cache(maxsize=None)
 def _encode_vmap_jit(thresholds, allocation_bias, allocator):
-    """jit(vmap(encode_step)) cached per option set.
+    """jit(vmap(encode_step + in-graph pack)) cached per option set.
 
-    vmap applied at call time re-TRACES the whole encoder graph on every
-    chunk (measured: ~5 s/chunk host time and unbounded RSS growth from
-    trace garbage on hour-long streams); building the transform once keeps
-    chunk dispatch at jit-cache-hit cost."""
+    Two lessons are baked in here:
+      * vmap applied at call time re-TRACES the whole encoder graph on
+        every chunk (measured ~5 s/chunk host time); the transform is
+        built once.
+      * the bitstream is packed ON DEVICE (ops/bitpack) so only the
+        212-byte sound units cross the host boundary.  Downloading raw
+        FrameData is ~136 MB per 2x8192-frame chunk vs ~3.5 MB of units -
+        a 40x transfer reduction that took the streaming pipeline from
+        ~1 k to device-bound frame rates on tunneled-device hosts."""
     import jax
 
+    from carta1_tpu.ops.bitpack import pack_frames as pack_device
     from carta1_tpu.pipeline.encoder import encode_step
 
-    return jax.jit(
-        jax.vmap(lambda p, s: encode_step(p, s, thresholds, allocation_bias, allocator))
-    )
+    def one(p, s):
+        fd, s2 = encode_step(p, s, thresholds, allocation_bias, allocator)
+        return pack_device(fd), s2
+
+    return jax.jit(jax.vmap(one))
 
 
 @functools.lru_cache(maxsize=None)
 def _decode_vmap_jit():
-    """jit(vmap(decode_step)), built once (see _encode_vmap_jit)."""
+    """jit(vmap(in-graph unpack + decode_step)) (see _encode_vmap_jit)."""
     import jax
 
+    from carta1_tpu.ops.bitpack import unpack_frames as unpack_device
     from carta1_tpu.pipeline.decoder import decode_step
 
-    return jax.jit(jax.vmap(decode_step))
+    def one(units, s):
+        return decode_step(unpack_device(units), s)
+
+    return jax.jit(jax.vmap(one))
 
 
 def _encode_batch(frames: np.ndarray, options: EncoderOptions, state, engine: str):
-    """frames: [channels, F, 512].  Returns (FrameData [channels, F, ...]
-    stacked as leading axis list, new_state)."""
+    """frames: [channels, F, 512].  Returns (per-channel packed sound units
+    [uint8 [F, 212], ...], new_state)."""
     if engine == "exact":
         from carta1_tpu.gold import encoder_init_state, gold_encode_frames
 
@@ -76,7 +88,7 @@ def _encode_batch(frames: np.ndarray, options: EncoderOptions, state, engine: st
         fds, new_states = [], []
         for ch, st in zip(frames, states):
             fd, st2 = gold_encode_frames(ch, options, st)
-            fds.append(fd)
+            fds.append(pack_frames(fd))
             new_states.append(st2)
         return fds, new_states
     elif engine == "tpu":
@@ -87,44 +99,38 @@ def _encode_batch(frames: np.ndarray, options: EncoderOptions, state, engine: st
         nch = frames.shape[0]
         if state is None:
             state = jax.tree.map(lambda x: np.broadcast_to(x, (nch,) + x.shape), encoder_init_state())
-        fd, new_state = _encode_vmap_jit(options.band_thresholds, options.allocation_bias, options.allocator)(
+        units, new_state = _encode_vmap_jit(options.band_thresholds, options.allocation_bias, options.allocator)(
             np.ascontiguousarray(frames, np.float32), state
         )
-        fd = fd.to_numpy()
-        return [fd[ch] for ch in range(nch)], new_state
+        units = np.asarray(units)
+        return [units[ch] for ch in range(nch)], new_state
     raise ValueError(f"Unknown engine: {engine}")
 
 
-def _decode_batch(fds: list[FrameData], state, engine: str):
-    """fds: one FrameData per channel (equal frame counts).
+def _decode_batch(chans: list[np.ndarray], state, engine: str):
+    """chans: one uint8 [F, 212] unit array per channel (equal counts).
 
-    Returns (pcm [channels, F, 512], new_state)."""
+    Returns (pcm [channels, F, 512], new_state).  The tpu engine unpacks
+    in-graph, so only the 212-byte units travel to the device."""
     if engine == "exact":
         from carta1_tpu.gold import decoder_init_state, gold_decode_frames
 
-        states = state if state is not None else [decoder_init_state() for _ in fds]
+        states = state if state is not None else [decoder_init_state() for _ in chans]
         outs, new_states = [], []
-        for fd, st in zip(fds, states):
-            pcm, st2 = gold_decode_frames(fd, st)
+        for units, st in zip(chans, states):
+            pcm, st2 = gold_decode_frames(unpack_frames(units), st)
             outs.append(pcm)
             new_states.append(st2)
         return np.stack(outs), new_states
     elif engine == "tpu":
         import jax
-        import jax.numpy as jnp
 
         from carta1_tpu.pipeline.decoder import decoder_init_state
 
-        nch = len(fds)
+        nch = len(chans)
         if state is None:
             state = jax.tree.map(lambda x: np.broadcast_to(np.asarray(x), (nch,) + x.shape), decoder_init_state())
-        stacked = FrameData(
-            n_bfu=np.stack([fd.n_bfu for fd in fds]).astype(np.int32),
-            block_modes=np.stack([fd.block_modes for fd in fds]).astype(np.int32),
-            scale_factors=np.stack([fd.scale_factors for fd in fds]).astype(np.int32),
-            word_lengths=np.stack([fd.word_lengths for fd in fds]).astype(np.int32),
-            quantized=np.stack([fd.quantized for fd in fds]).astype(np.int32),
-        )
+        stacked = np.ascontiguousarray(np.stack(chans), dtype=np.uint8)
         pcm, new_state = _decode_vmap_jit()(stacked, state)
         return np.asarray(pcm), new_state
     raise ValueError(f"Unknown engine: {engine}")
@@ -148,9 +154,9 @@ def encode_pcm(
     per_channel_units: list[list[np.ndarray]] = [[] for _ in range(nch)]
     for start in range(0, nframes, chunk_frames):
         chunk = frames[:, start:start + chunk_frames]
-        fds, state = _encode_batch(chunk, options, state, engine)
-        for ch, fd in enumerate(fds):
-            per_channel_units[ch].append(pack_frames(fd))
+        units, state = _encode_batch(chunk, options, state, engine)
+        for ch, u in enumerate(units):
+            per_channel_units[ch].append(u)
         if on_progress:
             on_progress(min(start + chunk_frames, nframes), nframes)
     channel_units = [np.concatenate(u) for u in per_channel_units]
@@ -180,8 +186,7 @@ def decode_units(
     state = None
     outs: list[np.ndarray] = []
     for start in range(0, nframes, chunk_frames):
-        fds = [unpack_frames(ch[start:start + chunk_frames]) for ch in channels]
-        pcm, state = _decode_batch(fds, state, engine)
+        pcm, state = _decode_batch([ch[start:start + chunk_frames] for ch in channels], state, engine)
         outs.append(pcm)
         if on_progress:
             on_progress(min(start + chunk_frames, nframes), nframes)
@@ -325,12 +330,17 @@ def encode_file(
     chunk_idx = 0
     for cs in range(start, nframes, chunk_frames):
         n = min(chunk_frames, nframes - cs)
-        chunk = reader.read_frames(cs, n).reshape(nch, n, C.SAMPLES_PER_FRAME)
+        # always feed the full chunk shape (reader zero-pads past EOF) so a
+        # stream of any length compiles exactly one encode program; padding
+        # frames are silence appended AFTER the real data and their units
+        # are sliced away
+        chunk = reader.read_frames(cs, chunk_frames).reshape(nch, chunk_frames, C.SAMPLES_PER_FRAME)
         if mesh is not None:
             fds, state = _encode_chunk_sharded(chunk, state, options, mesh)
+            per_ch = [pack_frames(fd)[:n] for fd in fds]
         else:
-            fds, state = _encode_batch(chunk, options, state, engine)
-        per_ch = [pack_frames(fd) for fd in fds]
+            per_ch, state = _encode_batch(chunk, options, state, engine)
+            per_ch = [u[:n] for u in per_ch]
         writer.append(per_ch[0] if nch == 1 else aea.interleave_stereo(per_ch[0], per_ch[1]))
         chunk_idx += 1
         if ckpt is not None and (chunk_idx % checkpoint_every == 0):
@@ -393,6 +403,7 @@ def decode_file(
     )
 
     chunk_idx = 0
+    zero_unit = pack_frames(FrameData.zeros(1))
     for cs in range(start, frames_per_ch, chunk_frames):
         n = min(chunk_frames, frames_per_ch - cs)
         if nch == 1:
@@ -400,14 +411,18 @@ def decode_file(
         else:
             raw = reader.read_units(2 * cs, 2 * n)
             if raw.shape[0] % 2 == 1:  # padded tail
-                raw = np.concatenate([raw, pack_frames(FrameData.zeros(1))])
+                raw = np.concatenate([raw, zero_unit])
             chans = list(aea.deinterleave_stereo(raw))
+        # fixed chunk shape (see encode_file): pad the tail with silent
+        # units, decode, slice the padding back off
+        if n < chunk_frames:
+            pad = np.broadcast_to(zero_unit, (chunk_frames - n, C.SOUND_UNIT_SIZE))
+            chans = [np.concatenate([ch, pad]) for ch in chans]
         if mesh is not None:
             pcm, state = _decode_chunk_sharded(chans, state, mesh)
         else:
-            fds = [unpack_frames(ch) for ch in chans]
-            pcm, state = _decode_batch(fds, state, engine)
-        writer.append(pcm.reshape(nch, -1))
+            pcm, state = _decode_batch(chans, state, engine)
+        writer.append(pcm[:, :n].reshape(nch, -1))
         chunk_idx += 1
         if ckpt is not None and (chunk_idx % checkpoint_every == 0):
             ckpt.save(cs + n, _state_to_list(state, nch),
@@ -457,12 +472,12 @@ def encode_clips(
         lambda x: np.broadcast_to(np.asarray(x), (len(clips),) + x.shape),
         encoder_init_state(),
     )
-    fd, _ = _encode_vmap_jit(options.band_thresholds, options.allocation_bias, options.allocator)(batch, state)
-    fd = fd.to_numpy()
+    units, _ = _encode_vmap_jit(options.band_thresholds, options.allocation_bias, options.allocator)(batch, state)
+    units = np.asarray(units)  # [clips, F, 212], packed on device
 
     out = []
     for i, nf in enumerate(frame_counts):
-        out.append(pack_frames(fd[i][slice(0, nf)]))
+        out.append(units[i, :nf])
         if on_progress:
             on_progress(i + 1, len(clips))
     return out
