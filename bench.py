@@ -84,6 +84,51 @@ def bench_tpu(frames_per_chunk: int = 8192, iters: int = 8) -> float:
     return 2 * frames_per_chunk * iters / elapsed
 
 
+def bench_encode_corpus(nframes: int = 49152) -> float:
+    """BASELINE config 2: streaming corpus encode, WAV -> AEA, one chip.
+
+    The actual north-star metric (BASELINE.md:32): wall-clock frames/s of
+    `encode_file` on real files — memmapped WAV reader, chunked device
+    encode with in-graph pack, incremental AEA writer — including all host
+    IO (tmpfs), not just device steady state."""
+    import os
+    import tempfile
+
+    from carta1_tpu.io.wav import write_wav
+    from carta1_tpu.processor import encode_file
+
+    with tempfile.TemporaryDirectory() as d:
+        wav = os.path.join(d, "bench.wav")
+        out = os.path.join(d, "bench.aea")
+        write_wav(wav, synth_audio(nframes // 2, channels=2).reshape(2, -1))
+        # warm the compile cache with one small file
+        warm = os.path.join(d, "warm.wav")
+        write_wav(warm, synth_audio(8192, channels=2).reshape(2, -1))
+        encode_file(warm, os.path.join(d, "warm.aea"))
+        t0 = time.perf_counter()
+        r = encode_file(wav, out)
+        elapsed = time.perf_counter() - t0
+        assert r.frames == nframes
+    return nframes / elapsed
+
+
+def bench_gold_encode_baseline(nframes: int = 512) -> float:
+    """Single-core reference-algorithm encode-only (incl. pack) frames/s."""
+    import os
+
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    from carta1_tpu.gold import gold_encode_frames
+    from carta1_tpu.io.bitstream_np import pack_frames_fast
+
+    pcm = synth_audio(nframes, channels=1)[0].reshape(nframes, 512)
+    gold_encode_frames(pcm[:8])  # warm caches
+    t0 = time.perf_counter()
+    fd, _ = gold_encode_frames(pcm)
+    pack_frames_fast(fd)
+    elapsed = time.perf_counter() - t0
+    return nframes / elapsed
+
+
 def bench_gold_baseline(nframes: int = 512) -> float:
     """Single-core reference-algorithm encode+decode frames/s.
 
@@ -111,7 +156,9 @@ def bench_gold_baseline(nframes: int = 512) -> float:
 
 def main() -> None:
     tpu_fps = bench_tpu()
+    encode_fps = bench_encode_corpus()
     gold_fps = bench_gold_baseline()
+    gold_encode_fps = bench_gold_encode_baseline()
     target = 100.0 * gold_fps
     print(
         json.dumps(
@@ -120,6 +167,13 @@ def main() -> None:
                 "value": round(tpu_fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(tpu_fps / target, 3),
+                # BASELINE config 2 (the nominal north star): streaming
+                # corpus WAV->AEA encode incl. host IO, vs 100x the
+                # single-core gold encoder
+                "encode_corpus_fps": round(encode_fps, 1),
+                "encode_corpus_vs_baseline": round(
+                    encode_fps / (100.0 * gold_encode_fps), 3
+                ),
             }
         )
     )

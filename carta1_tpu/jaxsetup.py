@@ -6,7 +6,11 @@ CLI, parallel drivers) before the first backend use.  Two concerns:
 1. **Persistent compilation cache.**  The bit-exact decoder compiles large
    programs (~1-7 min cold per shape, per backend); the cache makes every
    later process start fast.  Off only with CARTA1_NO_JAX_SETUP=1; location
-   overridable with CARTA1_JAX_CACHE (default ~/.cache/carta1_tpu/jax).
+   overridable with CARTA1_JAX_CACHE.  Default resolution order:
+   a repo-local pre-warmed cache directory `.jax_prewarm/` next to the
+   package (committed to the repo so fresh environments skip the
+   multi-minute cold compiles for the standard gate/test shapes), else
+   ~/.cache/carta1_tpu/jax.
 
 2. **XLA:CPU FMA-contraction guard.**  The x86 backend contracts mul+add
    into FMA at instruction selection (AVX2+) even for strict IR, which
@@ -38,9 +42,15 @@ def setup() -> None:
     import jax
 
     if jax.config.jax_compilation_cache_dir is None:
-        cache = os.environ.get(
-            "CARTA1_JAX_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "carta1_tpu", "jax")
+        prewarm = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_prewarm"
         )
+        default = (
+            prewarm
+            if os.path.isdir(prewarm)
+            else os.path.join(os.path.expanduser("~"), ".cache", "carta1_tpu", "jax")
+        )
+        cache = os.environ.get("CARTA1_JAX_CACHE", default)
         try:
             os.makedirs(cache, exist_ok=True)
         except OSError:

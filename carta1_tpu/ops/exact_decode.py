@@ -477,41 +477,88 @@ def qmf_synthesis_exact(low: jnp.ndarray, high: jnp.ndarray, delay: jnp.ndarray)
 # ---------------------------------------------------------------------------
 # Per-band IMDCT + overlap assembly (decoder.js:116-330)
 # ---------------------------------------------------------------------------
-def imdct_band_exact(coeffs: jnp.ndarray, band_idx: int, modes: jnp.ndarray, tail_state: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """coeffs [F, size], modes int32 [F], tail_state [16] -> (out [F, size], tail).
+def imdct_bands_exact(
+    coeffs: jnp.ndarray, modes: jnp.ndarray, tail_states: tuple
+) -> tuple[list, list]:
+    """All three bands' IMDCT + overlap assembly, one batched graph.
 
-    Bit-identical to gold.decoder._imdct_band."""
-    nframes, size = coeffs.shape
-    nb = C.MDCT_NUM_SHORT_BLOCKS[band_idx]
+    coeffs [F, 512]; modes int32 [F, 3]; tail_states: three [16] carries.
+    Returns (band outputs [[F,128],[F,128],[F,256]], new tails).
+
+    Per-band arithmetic is bit-identical to gold.decoder._imdct_band
+    (decoder.js:116-330); this formulation only widens batch axes so the
+    work compiles as THREE transform builds instead of six and ONE
+    overlap-add build instead of nineteen: the two imdct256 instances
+    (bands 0-1 long path) share one build, all 16 short-path imdct64
+    blocks share one, and every overlap-add window runs in a single
+    [F, 19, 16] call.  Expansion arithmetic is elementwise with a fixed
+    accumulation order, so batching cannot change any stored bit — and it
+    halves both XLA:CPU compile time and the number of fusion boundaries
+    (HBM round-trips) on device."""
+    nframes = coeffs.shape[0]
     t = C.MDCT_TAIL_WINDOW_SIZE
+    sizes = C.MDCT_BAND_SIZES  # (128, 128, 256)
+    bands = [coeffs[:, 0:128], coeffs[:, 128:256], coeffs[:, 256:512]]
 
-    spec_long = jnp.flip(coeffs, axis=-1) if band_idx > 0 else coeffs
-    inv = imdct_exact(spec_long, 2 * size)
-    inv_long = inv[:, size // 2 : size // 2 + size]
+    # long path: mid/high spectra are reversed (utils.js:42-48)
+    spec0 = bands[0]
+    spec1 = jnp.flip(bands[1], axis=-1)
+    spec2 = jnp.flip(bands[2], axis=-1)
+    inv01 = imdct_exact(jnp.stack([spec0, spec1], axis=0), 256)  # [2, F, 256]
+    inv2 = imdct_exact(spec2, 512)                               # [F, 512]
+    inv_long = [inv01[0][:, 64:192], inv01[1][:, 64:192], inv2[:, 128:384]]
 
-    blocks = coeffs.reshape(nframes, nb, 32)
-    if band_idx > 0:
-        blocks = jnp.flip(blocks, axis=-1)
-    inv64 = imdct_exact(blocks, 64)
-    inv_short = inv64[:, :, 16:48].reshape(nframes, size)
+    # short path: 4 + 4 + 8 imdct64 blocks, one batched instance
+    blocks = jnp.concatenate(
+        [
+            bands[0].reshape(nframes, 4, 32),
+            jnp.flip(bands[1].reshape(nframes, 4, 32), axis=-1),
+            jnp.flip(bands[2].reshape(nframes, 8, 32), axis=-1),
+        ],
+        axis=1,
+    )                                                            # [F, 16, 32]
+    inv64 = imdct_exact(blocks, 64)[:, :, 16:48]                 # [F, 16, 32]
+    inv_short = [
+        inv64[:, 0:4].reshape(nframes, 128),
+        inv64[:, 4:8].reshape(nframes, 128),
+        inv64[:, 8:16].reshape(nframes, 256),
+    ]
 
-    is_long = (modes == 0)[:, None]
-    inv_buf = jnp.where(is_long, inv_long, inv_short)
+    inv_bufs, tails, prev_tails = [], [], []
+    for b in range(3):
+        is_long = (modes[:, b] == 0)[:, None]
+        buf = jnp.where(is_long, inv_long[b], inv_short[b])
+        inv_bufs.append(buf)
+        tl = buf[:, sizes[b] - t :]
+        tails.append(tl)
+        prev_tails.append(shift_frames(tl, tail_states[b]))
 
-    tails = inv_buf[:, size - t:]
-    prev_tail = shift_frames(tails, tail_state)
+    # every overlap-add in one call: per band the long-path OLA plus nb
+    # short-block OLAs — the short-block chain is NOT sequential (each
+    # block's `prev` is a slice of inv_buf, decoder.js:286-303), so all 19
+    # windows batch on one axis
+    prev_list, curr_list = [], []
+    for b in range(3):
+        nb = C.MDCT_NUM_SHORT_BLOCKS[b]
+        buf = inv_bufs[b]
+        prev_list.append(prev_tails[b][:, None])                 # long-path prev
+        curr_list.append(buf[:, None, :t])                       # long-path curr
+        prevs = [prev_tails[b]] + [buf[:, 32 * j - t : 32 * j] for j in range(1, nb)]
+        prev_list.append(jnp.stack(prevs, axis=1))
+        curr_list.append(buf.reshape(nframes, nb, 32)[:, :, :t])
+    ola = overlap_add_exact(
+        jnp.concatenate(prev_list, axis=1), jnp.concatenate(curr_list, axis=1)
+    )                                                            # [F, 19, 32]
 
-    out_long = jnp.concatenate(
-        [overlap_add_exact(prev_tail, inv_buf[:, :t]), inv_buf[:, t : size - t]], axis=1
-    )
-
-    parts = []
-    prev = prev_tail
-    for b in range(nb):
-        s = b * 32
-        parts.append(overlap_add_exact(prev, inv_buf[:, s : s + t]))
-        prev = inv_buf[:, s + t : s + 32]
-    out_short = jnp.concatenate(parts, axis=1)
-
-    out = jnp.where(is_long, out_long, out_short)
-    return out, tails[-1]
+    outs = []
+    off = 0
+    for b in range(3):
+        nb = C.MDCT_NUM_SHORT_BLOCKS[b]
+        is_long = (modes[:, b] == 0)[:, None]
+        out_long = jnp.concatenate(
+            [ola[:, off], inv_bufs[b][:, t : sizes[b] - t]], axis=1
+        )
+        out_short = ola[:, off + 1 : off + 1 + nb].reshape(nframes, sizes[b])
+        outs.append(jnp.where(is_long, out_long, out_short))
+        off += 1 + nb
+    return outs, [tl[-1] for tl in tails]

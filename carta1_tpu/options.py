@@ -14,34 +14,36 @@ from __future__ import annotations
 
 import dataclasses
 
+# Field names, defaults, ranges and steps must match the reference
+# (codec/core/options.js:25-56) for config parity; the display prose is ours.
 OPTION_METADATA = {
     "transient_threshold_low": {
         "default": 1.0,
-        "name": "Low Band Transient Threshold",
+        "name": "Transient threshold, low band",
         "description": (
-            "Controls the transient detection threshold for the low frequency "
-            "band (0-5.5kHz). Lower values make detection more sensitive, "
-            "triggering short blocks more easily."
+            "Attack-detection score a 0-5.5 kHz frame must exceed before the "
+            "encoder switches that band to short MDCT blocks; smaller values "
+            "mean twitchier switching."
         ),
         "range": (0.01, 2.0),
         "step": 0.01,
     },
     "transient_threshold_mid": {
         "default": 1.5,
-        "name": "Mid Band Transient Threshold",
+        "name": "Transient threshold, mid band",
         "description": (
-            "Controls the transient detection threshold for the mid frequency "
-            "band (5.5-11kHz)."
+            "Short-block switching score for the 5.5-11 kHz band (only read "
+            "when per-band thresholds are enabled; see module docstring)."
         ),
         "range": (0.01, 3.0),
         "step": 0.01,
     },
     "transient_threshold_high": {
         "default": 2.0,
-        "name": "High Band Transient Threshold",
+        "name": "Transient threshold, high band",
         "description": (
-            "Controls the transient detection threshold for the high frequency "
-            "band (11-22kHz)."
+            "Short-block switching score for the 11-22 kHz band (only read "
+            "when per-band thresholds are enabled; see module docstring)."
         ),
         "range": (0.01, 4.0),
         "step": 0.01,
@@ -50,9 +52,9 @@ OPTION_METADATA = {
         "default": 1.0,
         "name": "Bit allocation bias",
         "description": (
-            "Controls how bits are distributed across the frequency spectrum "
-            "during allocation. Higher values focus more bits on loud "
-            "spectral components."
+            "Exponent applied to each BFU's scale factor when pricing "
+            "word-length upgrades: raising it steers the bit budget toward "
+            "high-energy coefficients at the expense of quiet detail."
         ),
         "range": (0.5, 3.0),
         "step": 0.01,

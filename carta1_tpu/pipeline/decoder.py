@@ -48,17 +48,9 @@ def decode_step(fd: FrameData, state: dict) -> tuple[jnp.ndarray, dict]:
     deq = X.dequantize_exact(fd.quantized, fd.scale_factors, fd.word_lengths)
     coeffs = scatter_bfus(deq, fd.block_modes, fd.n_bfu)  # [F, 512]
 
-    outs = []
-    new_tails = []
-    offset = 0
-    for b in range(3):
-        size = C.MDCT_BAND_SIZES[b]
-        out, tail = X.imdct_band_exact(
-            coeffs[:, offset:offset + size], b, fd.block_modes[:, b], state[f"tail{b}"]
-        )
-        outs.append(out)
-        new_tails.append(tail)
-        offset += size
+    outs, new_tails = X.imdct_bands_exact(
+        coeffs, fd.block_modes, (state["tail0"], state["tail1"], state["tail2"])
+    )
 
     high_delayed, high_d = delay_stream(outs[2], state["synth_high_delay"])
     stage2, mid_d = X.qmf_synthesis_exact(outs[0], outs[1], state["synth_mid_delay"])

@@ -446,38 +446,57 @@ def encode_clips(
     options: EncoderOptions | None = None,
     on_progress: Callable[[int, int], None] | None = None,
 ) -> list[np.ndarray]:
-    """Encode many independent mono clips in parallel on one chip
+    """Encode many independent clips in parallel on one chip
     (BASELINE config 4: clip axis + frame axis both vectorized).
 
-    clips: list of f32 [N_i] sample arrays (ragged).  Each clip is an
-    independent stream (fresh codec state, zero-padded tail frames like the
-    reference's frame splitter).  Clips are right-padded to the longest
-    clip's frame count, encoded as one [clips, F, 512] vmapped batch, and
-    the padding frames are dropped per clip afterwards.
+    clips: list of f32 sample arrays (ragged): [N_i] mono or
+    [channels, N_i] with 1 or 2 channels.  Each clip is an independent
+    stream (fresh codec state, zero-padded tail frames like the
+    reference's frame splitter).  Every channel of every clip becomes one
+    row of a single [rows, F, 512] vmapped batch (right-padded to the
+    longest clip), so a mixed mono/stereo corpus still encodes as one
+    device dispatch; the padding frames are dropped per clip afterwards.
 
-    Returns a list of uint8 [F_i, 212] sound-unit arrays, one per clip.
+    Returns one uint8 sound-unit array per clip: [F_i, 212] for mono,
+    [2*F_i, 212] interleaved L,R for stereo (the reference's stereo frame
+    order, processor.js:100-115).
     """
     import jax
 
     from carta1_tpu.pipeline.encoder import encoder_init_state
 
     options = options or EncoderOptions()
-    frame_counts = [max(1, -(-len(c) // C.SAMPLES_PER_FRAME)) for c in clips]
+    chans: list[np.ndarray] = []       # flattened channel rows
+    row_of: list[tuple[int, ...]] = [] # per clip: row index per channel
+    for clip in clips:
+        clip = np.asarray(clip, np.float32)
+        if clip.ndim == 1:
+            clip = clip[None]
+        if clip.ndim != 2 or clip.shape[0] not in (1, 2):
+            raise ValueError(f"clip must be [N] or [1|2, N], got shape {clip.shape}")
+        row_of.append(tuple(range(len(chans), len(chans) + clip.shape[0])))
+        chans.extend(clip)
+    frame_counts = [max(1, -(-c.shape[-1] // C.SAMPLES_PER_FRAME)) for c in chans]
     max_frames = max(frame_counts)
-    batch = np.zeros((len(clips), max_frames, C.SAMPLES_PER_FRAME), np.float32)
-    for i, clip in enumerate(clips):
-        batch[i, : frame_counts[i]] = pcm_to_frames(clip)
+    batch = np.zeros((len(chans), max_frames, C.SAMPLES_PER_FRAME), np.float32)
+    for i, ch in enumerate(chans):
+        batch[i, : frame_counts[i]] = pcm_to_frames(ch)
 
     state = jax.tree.map(
-        lambda x: np.broadcast_to(np.asarray(x), (len(clips),) + x.shape),
+        lambda x: np.broadcast_to(np.asarray(x), (len(chans),) + x.shape),
         encoder_init_state(),
     )
     units, _ = _encode_vmap_jit(options.band_thresholds, options.allocation_bias, options.allocator)(batch, state)
-    units = np.asarray(units)  # [clips, F, 212], packed on device
+    units = np.asarray(units)  # [rows, F, 212], packed on device
 
     out = []
-    for i, nf in enumerate(frame_counts):
-        out.append(units[i, :nf])
+    for i, rows in enumerate(row_of):
+        if len(rows) == 1:
+            out.append(units[rows[0], : frame_counts[rows[0]]])
+        else:
+            l, r = rows
+            nf = frame_counts[l]
+            out.append(aea.interleave_stereo(units[l, :nf], units[r, :nf]))
         if on_progress:
             on_progress(i + 1, len(clips))
     return out

@@ -40,29 +40,33 @@ def test_sharded_encode_matches_single_device():
     assert (qdiff != 0).mean() < 1e-3
 
 
-def test_sharded_decode_matches_single_device():
+def _bits_equal(a, b) -> bool:
+    a, b = np.asarray(a), np.asarray(b)
+    return bool(((a.view(np.int32) == b.view(np.int32)) | ((a == 0) & (b == 0))).all())
+
+
+def test_sharded_decode_bitwise_single_device():
+    """The exact decoder is bitwise shape-invariant by construction (fixed
+    elementwise accumulation order), so sharded == batched must hold at the
+    stored-bit level, not just within an envelope (PERF.md 'chunked ==
+    batched == sharded, bitwise')."""
     pcm = _signal(8 * 4, seed=7)
     fd, _ = gold_encode_frames(pcm)
     want, _ = decode_frames(fd)
     got = decode_frames_sharded(fd)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
-    gi = float_to_int16(np.asarray(got))
-    wi = float_to_int16(np.asarray(want))
-    assert np.abs(gi.astype(int) - wi.astype(int)).max() <= 1
+    assert _bits_equal(got, want)
 
 
-def test_sharded_decode_matches_gold_oracle():
-    """Boundary-state reconstruction must be exact: sharded decode stays
-    within the same 1-LSB envelope of the gold oracle as single-device."""
+def test_sharded_decode_bitwise_gold_oracle():
+    """Boundary-state reconstruction must be exact: halo-reconstructed shard
+    state feeds the bit-exact decoder, so the sharded result equals the gold
+    oracle (and therefore the reference) bit-for-bit."""
     pcm = _signal(8 * 3, seed=9)
     fd, _ = gold_encode_frames(pcm)
     want, _ = gold_decode_frames(fd)
     got = np.asarray(decode_frames_sharded(fd))
-    np.testing.assert_allclose(got, want, atol=3e-5)
-    gi, wi = float_to_int16(got), float_to_int16(want)
-    d = np.abs(gi.astype(int) - wi.astype(int))
-    assert d.max() <= 1
-    assert (d != 0).mean() < 0.01
+    assert _bits_equal(got, want)
+    assert np.array_equal(float_to_int16(got), float_to_int16(want))
 
 
 def test_sharded_ragged_frame_count():

@@ -39,6 +39,17 @@ def test_scan_streaming_equals_batched():
     got = np.asarray(pcm_chunks).reshape(-1, 512)[:nvalid]
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
 
+    # decode of the SAME frame data must be bitwise shape-invariant:
+    # scan-over-chunks == one batch (PERF.md "chunked == batched, bitwise")
+    chunked_fd = FrameData(*(np.asarray(x).reshape((3, 4) + x.shape[1:]) for x in
+                             (fd_batch.n_bfu, fd_batch.block_modes,
+                              fd_batch.scale_factors, fd_batch.word_lengths,
+                              fd_batch.quantized)))
+    scan_pcm, _ = decode_stream(chunked_fd)
+    a = np.asarray(scan_pcm).reshape(-1, 512)
+    b = np.asarray(want)
+    assert ((a.view(np.int32) == b.view(np.int32)) | ((a == 0) & (b == 0))).all()
+
 
 def _make_corpus(tmp_path, n=4):
     jobs = []
@@ -120,3 +131,23 @@ def test_encode_clips_batched_equals_individual():
         assert units.shape == solo.shape
         # ULP wobble across batch shapes may flip rare quantizer boundaries
         assert (units != solo).mean() < 0.01
+
+
+def test_encode_clips_stereo_and_mixed():
+    """Config 4 with stereo clips: [2, N] clips interleave L,R like the
+    reference's stereo stream; mono and stereo mix in one batch."""
+    from carta1_tpu.processor import encode_clips, encode_pcm
+
+    rng = np.random.default_rng(11)
+    stereo = np.stack([
+        (sine(440, length=512 * 3) * 0.5).astype(np.float32),
+        (rng.standard_normal(512 * 3) * 0.2).astype(np.float32),
+    ])
+    mono = (sine(700, length=512 * 2) * 0.4).astype(np.float32)
+    out_stereo, out_mono = encode_clips([stereo, mono])
+    assert out_stereo.shape == (2 * 3, 212) and out_mono.shape == (2, 212)
+    solo = encode_pcm(stereo, engine="tpu")  # interleaved stereo reference path
+    assert out_stereo.shape == solo.shape
+    assert (out_stereo != solo).mean() < 0.01
+    solo_m = encode_pcm(mono[None], engine="tpu")
+    assert (out_mono != solo_m).mean() < 0.01
