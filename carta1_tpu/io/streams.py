@@ -88,6 +88,24 @@ class WavStreamReader:
         self.num_frames = max(1, -(-n // SAMPLES_PER_FRAME))
         self._mm = np.memmap(path, dtype=np.uint8, mode="r", offset=data_off, shape=(n * frame_bytes,))
 
+    def read_frames_i16(self, start_frame: int, count: int) -> np.ndarray | None:
+        """int16 [channels, count*512] zero-padded, or None if not 16-bit.
+
+        Raw samples for device-side conversion (ops/pcm.int16_to_float is
+        bitwise equal to the host conversion): half the upload bytes of the
+        f32 path, which matters on relay-attached devices (PERF.md)."""
+        if self._bps != 2:
+            return None
+        c = self.info.channels
+        s0 = start_frame * SAMPLES_PER_FRAME
+        s1 = min((start_frame + count) * SAMPLES_PER_FRAME, self.info.num_samples)
+        navail = max(s1 - s0, 0)
+        out = np.zeros((c, count * SAMPLES_PER_FRAME), np.int16)
+        if navail > 0:
+            raw = self._mm[s0 * c * 2 : s1 * c * 2]
+            out[:, :navail] = raw.view("<i2").reshape(navail, c).T
+        return out
+
     def read_frames(self, start_frame: int, count: int) -> np.ndarray:
         c = self.info.channels
         s0 = start_frame * SAMPLES_PER_FRAME
@@ -135,6 +153,13 @@ class WavStreamWriter:
     def append(self, pcm: np.ndarray) -> None:
         """pcm: f32 [channels, n] appended with the reference conversion."""
         int16 = float_to_int16(np.atleast_2d(pcm))
+        self._f.write(np.ascontiguousarray(int16.T).astype("<i2").tobytes())
+        self._n += int16.shape[1]
+
+    def append_i16(self, int16: np.ndarray) -> None:
+        """int16 [channels, n] already converted (ops/pcm.float_to_int16
+        on device is bitwise equal to the host conversion)."""
+        int16 = np.atleast_2d(int16)
         self._f.write(np.ascontiguousarray(int16.T).astype("<i2").tobytes())
         self._n += int16.shape[1]
 

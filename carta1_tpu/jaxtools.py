@@ -1,0 +1,108 @@
+"""Transfer-aware JAX utilities for the tunneled device runtime.
+
+The IFRT-proxy relay this environment runs JAX through has two measured
+pathologies (see PERF.md "Relay transfer pathology" for the full study):
+
+1. **Device->host copies are slow and poisonous.**  D2H runs at
+   ~16-40 MB/s regardless of size, and the FIRST D2H in a process
+   permanently degrades every later host->device copy from ~1.4 GB/s to
+   ~20-30 MB/s.  ``np.asarray`` on ANY device array — even a 28-byte
+   state vector — trips it.  Rules: never download what you don't need,
+   defer every download to the last possible moment, and make the
+   downloads you must do k-way concurrent (``fetch``, ~2x).
+
+2. **Programs with embedded array constants correlate with the same
+   degradation.**  ``hoisted_jit`` traces the function to a jaxpr, pulls
+   out ``closed_jaxpr.consts`` (exactly the array literals XLA would have
+   embedded), uploads them once, and evaluates the jaxpr with them as
+   leading arguments.  Bitwise semantics are unchanged — the same jaxpr
+   runs on the same values; XLA simply receives them as parameters it
+   cannot fold.  It also shrinks executables, which this runtime re-ships
+   over the relay.
+
+Neither transform changes any computed bit; both are no-ops in spirit on
+a directly-attached TPU (PCIe/ICI hosts measure GB/s both ways).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+
+def hoisted_jit(fn, donate_argnums: tuple[int, ...] = ()):
+    """jax.jit(fn) with all array constants passed as runtime arguments.
+
+    fn must be a pure function of array pytrees (no static/python args —
+    close over those first).  donate_argnums refers to fn's own positional
+    arguments, as with jax.jit.
+    """
+    sig_cache: dict = {}
+
+    def _signature(args):
+        leaves, treedef = jax.tree.flatten(args)
+        return (
+            treedef,
+            tuple((np.shape(l), np.result_type(l).str) for l in leaves),
+        )
+
+    @functools.wraps(fn)
+    def call(*args):
+        key = _signature(args)
+        entry = sig_cache.get(key)
+        if entry is None:
+            closed, out_shape = jax.make_jaxpr(fn, return_shape=True)(*args)
+            out_treedef = jax.tree.structure(out_shape)
+            jaxpr = closed.jaxpr
+            consts = tuple(jax.device_put(c) for c in closed.consts)
+            n_out = len(jaxpr.outvars)
+
+            def run(consts, *args):
+                flat, _ = jax.tree.flatten(args)
+                out_flat = jax.core.eval_jaxpr(jaxpr, consts, *flat)
+                return jax.tree.unflatten(out_treedef, out_flat)
+
+            jfn = jax.jit(run, donate_argnums=tuple(d + 1 for d in donate_argnums))
+            entry = (jfn, consts)
+            sig_cache[key] = entry
+        jfn, consts = entry
+        return jfn(consts, *args)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_split(k: int):
+    import jax.numpy as jnp
+
+    return hoisted_jit(lambda v: tuple(jnp.array_split(v.reshape(-1), k)))
+
+
+def fetch(x, k: int = 8) -> np.ndarray:
+    """Device -> host copy, k-way sliced for the relay's slow D2H path.
+
+    The relay transfers each buffer serially at ~16 MB/s; k concurrent
+    slice copies overlap to ~38 MB/s (measured plateau — higher k loses it
+    again).  Small arrays (<1 MB) go straight through.  NOTE: any D2H —
+    including this one — permanently degrades later H2D in this process
+    (see module docstring); callers sequence all uploads first."""
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if x.nbytes < (1 << 20) or k <= 1:
+        return np.asarray(x)
+    parts = _flat_split(k)(x)
+    for p in parts:
+        p.copy_to_host_async()
+    return np.concatenate([np.asarray(p) for p in parts]).reshape(x.shape)
+
+
+def zeros_like_tree(tree):
+    """Host (numpy) zero pytree with the template's shapes/dtypes.
+
+    Reads only metadata — never downloads device leaves (a ``np.asarray``
+    on a 46-float delay line is exactly the poisonous D2H above)."""
+    return jax.tree.map(
+        lambda l: np.zeros(np.shape(l), np.result_type(l)), tree
+    )

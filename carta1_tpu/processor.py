@@ -40,42 +40,71 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _encode_vmap_jit(thresholds, allocation_bias, allocator):
-    """jit(vmap(encode_step + in-graph pack)) cached per option set.
+def _encode_vmap_jit(thresholds, allocation_bias, allocator, from_i16=False):
+    """hoisted_jit(vmap(encode_step + in-graph pack)) cached per option set.
 
-    Two lessons are baked in here:
+    Lessons baked in here (all measured; PERF.md "Relay transfer
+    pathology"):
       * vmap applied at call time re-TRACES the whole encoder graph on
         every chunk (measured ~5 s/chunk host time); the transform is
         built once.
       * the bitstream is packed ON DEVICE (ops/bitpack) so only the
         212-byte sound units cross the host boundary.  Downloading raw
-        FrameData is ~136 MB per 2x8192-frame chunk vs ~3.5 MB of units -
-        a 40x transfer reduction that took the streaming pipeline from
-        ~1 k to device-bound frame rates on tunneled-device hosts."""
+        FrameData is ~136 MB per 2x8192-frame chunk vs ~3.5 MB of units.
+      * hoisted_jit passes table constants as device-resident arguments
+        instead of embedding them in the executable (relay rule 2).
+      * from_i16 converts raw int16 WAV samples ON DEVICE (bitwise equal
+        to the host conversion — exact power-of-two divide) at half the
+        upload bytes."""
     import jax
 
+    from carta1_tpu.jaxtools import hoisted_jit
     from carta1_tpu.ops.bitpack import pack_frames as pack_device
+    from carta1_tpu.ops.pcm import int16_to_float
     from carta1_tpu.pipeline.encoder import encode_step
 
     def one(p, s):
+        if from_i16:
+            p = int16_to_float(p)
         fd, s2 = encode_step(p, s, thresholds, allocation_bias, allocator)
         return pack_device(fd), s2
 
-    return jax.jit(jax.vmap(one))
+    return hoisted_jit(jax.vmap(one))
 
 
 @functools.lru_cache(maxsize=None)
-def _decode_vmap_jit():
-    """jit(vmap(in-graph unpack + decode_step)) (see _encode_vmap_jit)."""
+def _decode_vmap_jit(to_i16=False):
+    """hoisted_jit(vmap(in-graph unpack + decode_step)) (see _encode_vmap_jit).
+
+    to_i16 applies the reference's f32->int16 WAV conversion ON DEVICE
+    (ops/pcm.float_to_int16, bitwise equal to the host conversion) so the
+    decoded stream crosses the relay at 2 bytes/sample."""
     import jax
 
+    from carta1_tpu.jaxtools import hoisted_jit
     from carta1_tpu.ops.bitpack import unpack_frames as unpack_device
+    from carta1_tpu.ops.pcm import float_to_int16
     from carta1_tpu.pipeline.decoder import decode_step
 
     def one(units, s):
-        return decode_step(unpack_device(units), s)
+        pcm, s2 = decode_step(unpack_device(units), s)
+        if to_i16:
+            pcm = float_to_int16(pcm)
+        return pcm, s2
 
-    return jax.jit(jax.vmap(one))
+    return hoisted_jit(jax.vmap(one))
+
+
+def _broadcast_state_np(template, nch: int):
+    """Host zero state [nch, ...] from a device template's METADATA only.
+
+    np.broadcast_to on a jnp leaf would call __array__ — a tiny D2H that
+    permanently poisons this runtime's H2D path (jaxtools docstring)."""
+    import jax
+
+    return jax.tree.map(
+        lambda x: np.zeros((nch,) + np.shape(x), np.result_type(x)), template
+    )
 
 
 def _encode_batch(frames: np.ndarray, options: EncoderOptions, state, engine: str):
@@ -92,19 +121,31 @@ def _encode_batch(frames: np.ndarray, options: EncoderOptions, state, engine: st
             new_states.append(st2)
         return fds, new_states
     elif engine == "tpu":
-        import jax
+        units, new_state = _encode_batch_dev(frames, options, state)
+        from carta1_tpu.jaxtools import fetch
 
-        from carta1_tpu.pipeline.encoder import encoder_init_state
-
-        nch = frames.shape[0]
-        if state is None:
-            state = jax.tree.map(lambda x: np.broadcast_to(x, (nch,) + x.shape), encoder_init_state())
-        units, new_state = _encode_vmap_jit(options.band_thresholds, options.allocation_bias, options.allocator)(
-            np.ascontiguousarray(frames, np.float32), state
-        )
-        units = np.asarray(units)
-        return [units[ch] for ch in range(nch)], new_state
+        units = fetch(units)
+        return [units[ch] for ch in range(units.shape[0])], new_state
     raise ValueError(f"Unknown engine: {engine}")
+
+
+def _encode_batch_dev(frames: np.ndarray, options: EncoderOptions, state):
+    """Device encode of one chunk; units STAY on device ([C, F, 212]).
+
+    frames: [channels, F, 512] f32 — or int16 raw WAV samples, converted
+    in-graph (bitwise equal, half the upload).  Dispatch is async: callers
+    may pipeline reads against device compute and defer every download
+    (jaxtools.fetch) to the end of the stream."""
+    from carta1_tpu.pipeline.encoder import encoder_init_state
+
+    nch = frames.shape[0]
+    if state is None:
+        state = _broadcast_state_np(encoder_init_state(), nch)
+    from_i16 = frames.dtype == np.int16
+    fn = _encode_vmap_jit(
+        options.band_thresholds, options.allocation_bias, options.allocator, from_i16
+    )
+    return fn(np.ascontiguousarray(frames), state)
 
 
 def _decode_batch(chans: list[np.ndarray], state, engine: str):
@@ -123,17 +164,25 @@ def _decode_batch(chans: list[np.ndarray], state, engine: str):
             new_states.append(st2)
         return np.stack(outs), new_states
     elif engine == "tpu":
-        import jax
+        from carta1_tpu.jaxtools import fetch
 
-        from carta1_tpu.pipeline.decoder import decoder_init_state
-
-        nch = len(chans)
-        if state is None:
-            state = jax.tree.map(lambda x: np.broadcast_to(np.asarray(x), (nch,) + x.shape), decoder_init_state())
-        stacked = np.ascontiguousarray(np.stack(chans), dtype=np.uint8)
-        pcm, new_state = _decode_vmap_jit()(stacked, state)
-        return np.asarray(pcm), new_state
+        pcm, new_state = _decode_batch_dev(chans, state)
+        return fetch(pcm), new_state
     raise ValueError(f"Unknown engine: {engine}")
+
+
+def _decode_batch_dev(chans: list[np.ndarray], state, to_i16: bool = False):
+    """Device decode of one chunk; PCM STAYS on device ([C, F, 512]).
+
+    to_i16 emits int16 samples (in-graph reference WAV conversion,
+    bitwise equal to the host path) — half the download bytes."""
+    from carta1_tpu.pipeline.decoder import decoder_init_state
+
+    nch = len(chans)
+    if state is None:
+        state = _broadcast_state_np(decoder_init_state(), nch)
+    stacked = np.ascontiguousarray(np.stack(chans), dtype=np.uint8)
+    return _decode_vmap_jit(to_i16)(stacked, state)
 
 
 def encode_pcm(
@@ -327,6 +376,29 @@ def encode_file(
         resume_at_frame=(start * nch if start else None),
     )
 
+    # Device spool: unit outputs accumulate ON DEVICE and are downloaded
+    # once at end-of-stream (or at checkpoint / memory-guard boundaries).
+    # Rationale (PERF.md "Relay transfer pathology"): the first D2H copy
+    # permanently degrades this runtime's H2D path ~50x, so the fast plan
+    # is all-uploads-then-all-downloads.  212 B/frame/ch means ~0.9 GB of
+    # HBM per hour of stereo audio — the guard drains early if a stream
+    # outgrows the budget (correct, just slower).
+    spool: list[tuple[object, int]] = []  # (device units [C, n_chunk, 212], n_real)
+    spool_bytes = 0
+    spool_limit = int(os.environ.get("CARTA1_SPOOL_LIMIT_BYTES", 2 << 30))
+
+    def _drain() -> None:
+        nonlocal spool_bytes
+        from carta1_tpu.jaxtools import fetch
+
+        for units_dev, n_real in spool:
+            u = fetch(units_dev)
+            per_ch = [u[ch, :n_real] for ch in range(nch)]
+            writer.append(per_ch[0] if nch == 1 else aea.interleave_stereo(per_ch[0], per_ch[1]))
+        spool.clear()
+        spool_bytes = 0
+
+    use_dev_spool = mesh is None and engine == "tpu"
     chunk_idx = 0
     for cs in range(start, nframes, chunk_frames):
         n = min(chunk_frames, nframes - cs)
@@ -334,21 +406,34 @@ def encode_file(
         # stream of any length compiles exactly one encode program; padding
         # frames are silence appended AFTER the real data and their units
         # are sliced away
-        chunk = reader.read_frames(cs, chunk_frames).reshape(nch, chunk_frames, C.SAMPLES_PER_FRAME)
-        if mesh is not None:
-            fds, state = _encode_chunk_sharded(chunk, state, options, mesh)
-            per_ch = [pack_frames(fd)[:n] for fd in fds]
+        if use_dev_spool:
+            raw = reader.read_frames_i16(cs, chunk_frames)
+            if raw is None:  # 24/32-bit input: f32 upload path
+                raw = reader.read_frames(cs, chunk_frames)
+            chunk = raw.reshape(nch, chunk_frames, C.SAMPLES_PER_FRAME)
+            units_dev, state = _encode_batch_dev(chunk, options, state)
+            spool.append((units_dev, n))
+            spool_bytes += nch * chunk_frames * C.SOUND_UNIT_SIZE
+            if spool_bytes >= spool_limit:
+                _drain()
         else:
-            per_ch, state = _encode_batch(chunk, options, state, engine)
-            per_ch = [u[:n] for u in per_ch]
-        writer.append(per_ch[0] if nch == 1 else aea.interleave_stereo(per_ch[0], per_ch[1]))
+            chunk = reader.read_frames(cs, chunk_frames).reshape(nch, chunk_frames, C.SAMPLES_PER_FRAME)
+            if mesh is not None:
+                fds, state = _encode_chunk_sharded(chunk, state, options, mesh)
+                per_ch = [pack_frames(fd)[:n] for fd in fds]
+            else:
+                per_ch, state = _encode_batch(chunk, options, state, engine)
+                per_ch = [u[:n] for u in per_ch]
+            writer.append(per_ch[0] if nch == 1 else aea.interleave_stereo(per_ch[0], per_ch[1]))
         chunk_idx += 1
         if ckpt is not None and (chunk_idx % checkpoint_every == 0):
+            _drain()
             writer.flush()
             ckpt.save(cs + n, _state_to_list(state, nch),
                       {"input": os.path.abspath(input_wav), "chunk_frames": chunk_frames})
         if on_progress:
             on_progress(cs + n, nframes)
+    _drain()
     total_units = writer.frames_written
     writer.close()
     if ckpt is not None:
@@ -402,6 +487,24 @@ def decode_file(
         resume_at_samples=(start * C.SAMPLES_PER_FRAME if start else None),
     )
 
+    # Device spool, mirror of encode_file: decoded PCM accumulates on
+    # device as int16 (in-graph reference WAV conversion, bitwise equal to
+    # the host path at half the bytes) and downloads once at end-of-stream.
+    spool: list[tuple[object, int]] = []  # (device int16 [C, n_chunk, 512], n_real)
+    spool_bytes = 0
+    spool_limit = int(os.environ.get("CARTA1_SPOOL_LIMIT_BYTES", 2 << 30))
+
+    def _drain() -> None:
+        nonlocal spool_bytes
+        from carta1_tpu.jaxtools import fetch
+
+        for pcm_dev, n_real in spool:
+            pcm = fetch(pcm_dev)
+            writer.append_i16(pcm[:, :n_real].reshape(nch, -1))
+        spool.clear()
+        spool_bytes = 0
+
+    use_dev_spool = mesh is None and engine == "tpu"
     chunk_idx = 0
     zero_unit = pack_frames(FrameData.zeros(1))
     for cs in range(start, frames_per_ch, chunk_frames):
@@ -418,17 +521,26 @@ def decode_file(
         if n < chunk_frames:
             pad = np.broadcast_to(zero_unit, (chunk_frames - n, C.SOUND_UNIT_SIZE))
             chans = [np.concatenate([ch, pad]) for ch in chans]
-        if mesh is not None:
+        if use_dev_spool:
+            pcm_dev, state = _decode_batch_dev(chans, state, to_i16=True)
+            spool.append((pcm_dev, n))
+            spool_bytes += nch * chunk_frames * C.SAMPLES_PER_FRAME * 2
+            if spool_bytes >= spool_limit:
+                _drain()
+        elif mesh is not None:
             pcm, state = _decode_chunk_sharded(chans, state, mesh)
+            writer.append(pcm[:, :n].reshape(nch, -1))
         else:
             pcm, state = _decode_batch(chans, state, engine)
-        writer.append(pcm[:, :n].reshape(nch, -1))
+            writer.append(pcm[:, :n].reshape(nch, -1))
         chunk_idx += 1
         if ckpt is not None and (chunk_idx % checkpoint_every == 0):
+            _drain()
             ckpt.save(cs + n, _state_to_list(state, nch),
                       {"input": os.path.abspath(input_aea), "chunk_frames": chunk_frames})
         if on_progress:
             on_progress(cs + n, frames_per_ch)
+    _drain()
     samples = frames_per_ch * C.SAMPLES_PER_FRAME
     writer.close()
     if ckpt is not None:
@@ -482,12 +594,11 @@ def encode_clips(
     for i, ch in enumerate(chans):
         batch[i, : frame_counts[i]] = pcm_to_frames(ch)
 
-    state = jax.tree.map(
-        lambda x: np.broadcast_to(np.asarray(x), (len(chans),) + x.shape),
-        encoder_init_state(),
-    )
+    from carta1_tpu.jaxtools import fetch
+
+    state = _broadcast_state_np(encoder_init_state(), len(chans))
     units, _ = _encode_vmap_jit(options.band_thresholds, options.allocation_bias, options.allocator)(batch, state)
-    units = np.asarray(units)  # [rows, F, 212], packed on device
+    units = fetch(units)  # [rows, F, 212], packed on device
 
     out = []
     for i, rows in enumerate(row_of):
