@@ -154,8 +154,17 @@ def _stack_terms(pairs):
 
 
 def _patch_col(x, k: int, col):
-    """Replace column k of the butterfly axis (axis 1 of [m, half, B])."""
-    return jnp.concatenate([x[:, :k], col, x[:, k + 1 :]], axis=1)
+    """Replace column k of the butterfly axis (axis 1 of [m, half, B]).
+
+    Empty edge slices are skipped — Mosaic (the Pallas TPU backend)
+    rejects zero-size vectors, and stride-4 stages patch the LAST column."""
+    parts = []
+    if k > 0:
+        parts.append(x[:, :k])
+    parts.append(col)
+    if k + 1 < x.shape[1]:
+        parts.append(x[:, k + 1 :])
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else col
 
 
 def _hazard_butterfly(er, ei, orr, oi, ctr_k, cti_k):
@@ -309,9 +318,37 @@ def _imdct_consts(size: int) -> tuple[ConstTriple, ConstTriple, jnp.ndarray]:
     return cos_t, sin_t, np.ascontiguousarray(P.T)  # host numpy (lru-safe)
 
 
+def _use_pallas_imdct() -> bool:
+    """Pallas transform core on TPU (default), XLA elsewhere.
+
+    CARTA1_EXACT_PALLAS=0 forces the XLA path, =1 forces Pallas.  Both
+    paths are bit-identical (same error-free op sequences; pinned by the
+    A/B test in tests/test_exact_decode.py and the on-chip golden gate)."""
+    import os
+
+    mode = os.environ.get("CARTA1_EXACT_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def imdct_exact(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """[..., size/2] f32 spectra -> [..., size] f32, bit-identical to
     gold.transforms.imdct (mdct.js:139-211 with the reference scales).
+
+    Dispatches to the VMEM-resident Pallas core on TPU
+    (ops/exact_fft_pallas.py) and the XLA formulation elsewhere."""
+    if _use_pallas_imdct():
+        from carta1_tpu.ops.exact_fft_pallas import imdct_exact_pallas
+
+        return imdct_exact_pallas(x, size)
+    return imdct_exact_xla(x, size)
+
+
+def imdct_exact_xla(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """XLA formulation of the exact IMDCT (the CPU/test path).
 
     Internally position-major ([half, B]) so the batch axis stays in the
     VPU lanes throughout (see _fft_exact_pm)."""

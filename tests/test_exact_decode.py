@@ -121,3 +121,22 @@ def test_decode_frames_bitwise_random_stream_chunked():
         pcm, state = decode_frames(fd[slice(lo, hi)], state)
         outs.append(np.asarray(pcm))
     assert _bits_equal(np.concatenate(outs), gpcm)
+
+
+# ---------------------------------------------------------------------------
+# Pallas transform core (ops/exact_fft_pallas): bitwise == the XLA path.
+# Interpreter mode — runs on the CPU test backend; the compiled TPU kernel
+# is pinned by the on-chip gate (verify_tpu.py / QUALITY_r*.json).
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("size,lead", [(64, (4, 16)), (256, (2, 3)), (512, (5,))])
+def test_imdct_pallas_interpret_bitwise(size, lead):
+    from carta1_tpu.ops.exact_decode import imdct_exact_xla
+    from carta1_tpu.ops.exact_fft_pallas import imdct_exact_pallas
+
+    rng = np.random.default_rng(size)
+    x = (rng.standard_normal(lead + (size // 2,)) * 0.5).astype(np.float32)
+    a = np.asarray(jax.jit(lambda v: imdct_exact_xla(v, size))(x))
+    b = np.asarray(
+        jax.jit(lambda v: imdct_exact_pallas(v, size, interpret=True))(x)
+    )
+    assert (a.view(np.int32) == b.view(np.int32)).all()
