@@ -57,7 +57,6 @@ def hoisted_jit(fn, donate_argnums: tuple[int, ...] = ()):
             out_treedef = jax.tree.structure(out_shape)
             jaxpr = closed.jaxpr
             consts = tuple(jax.device_put(c) for c in closed.consts)
-            n_out = len(jaxpr.outvars)
 
             def run(consts, *args):
                 flat, _ = jax.tree.flatten(args)

@@ -29,3 +29,21 @@ _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# ---------------------------------------------------------------------------
+# Whole-suite stability: one pytest process accumulates ~130+ compiled
+# XLA:CPU executables (several exact-decoder programs among them) and the
+# run then aborts (SIGABRT, no diagnostic) inside backend_compile_and_load
+# at the NEXT big compile — reproduced at tests/test_tpu_engine.py:239 with
+# 125 GB free RAM and a 20k fd limit, so it is JIT-internal state, not a
+# resource we can raise.  Dropping live executables between modules keeps
+# the resident-program count bounded; the persistent disk cache makes the
+# reloads cheap.
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_live_executables():
+    yield
+    jax.clear_caches()
