@@ -83,7 +83,13 @@ def bench_tpu_chain(iters: int, frames_per_chunk: int = 8192) -> float:
         acc = acc + jnp.abs(out).sum() + units.astype(jnp.uint32).sum().astype(jnp.float32)
         return acc, enc_state, dec_state
 
-    pcm = jnp.asarray(synth_audio(frames_per_chunk, channels=2).reshape(2, frames_per_chunk, 512))
+    host = synth_audio(frames_per_chunk, channels=2).reshape(2, frames_per_chunk, 512)
+    # one device array per channel, materialized BEFORE the loop: an
+    # in-loop pcm[ch] slice is its own device program, and alternating a
+    # second program with the ~150-270 MB transcode executable makes the
+    # runtime re-ship the binary every call (~2.6 s/call measured — the
+    # r1 "program-cache thrash" note, scaled up by executable size)
+    pcm = [jax.device_put(np.ascontiguousarray(host[ch])) for ch in range(2)]
     chans = []
     for ch in range(2):  # warmup / compile
         acc, es, ds = transcode_step(

@@ -201,13 +201,29 @@ def encode_pcm(
     nch, nframes = frames.shape[0], frames.shape[1]
     state = None
     per_channel_units: list[list[np.ndarray]] = [[] for _ in range(nch)]
-    for start in range(0, nframes, chunk_frames):
-        chunk = frames[:, start:start + chunk_frames]
-        units, state = _encode_batch(chunk, options, state, engine)
-        for ch, u in enumerate(units):
-            per_channel_units[ch].append(u)
-        if on_progress:
-            on_progress(min(start + chunk_frames, nframes), nframes)
+    if engine == "tpu":
+        # defer every download to the end (PERF.md relay rules): the
+        # first D2H would slow all later chunk uploads ~50x
+        spool = []
+        for start in range(0, nframes, chunk_frames):
+            units_dev, state = _encode_batch_dev(frames[:, start:start + chunk_frames], options, state)
+            spool.append(units_dev)
+            if on_progress:
+                on_progress(min(start + chunk_frames, nframes), nframes)
+        from carta1_tpu.jaxtools import fetch
+
+        for units_dev in spool:
+            u = fetch(units_dev)
+            for ch in range(nch):
+                per_channel_units[ch].append(u[ch])
+    else:
+        for start in range(0, nframes, chunk_frames):
+            chunk = frames[:, start:start + chunk_frames]
+            units, state = _encode_batch(chunk, options, state, engine)
+            for ch, u in enumerate(units):
+                per_channel_units[ch].append(u)
+            if on_progress:
+                on_progress(min(start + chunk_frames, nframes), nframes)
     channel_units = [np.concatenate(u) for u in per_channel_units]
     if nch == 1:
         return channel_units[0]
@@ -234,11 +250,22 @@ def decode_units(
     nframes = channels[0].shape[0]
     state = None
     outs: list[np.ndarray] = []
-    for start in range(0, nframes, chunk_frames):
-        pcm, state = _decode_batch([ch[start:start + chunk_frames] for ch in channels], state, engine)
-        outs.append(pcm)
-        if on_progress:
-            on_progress(min(start + chunk_frames, nframes), nframes)
+    if engine == "tpu":
+        spool = []
+        for start in range(0, nframes, chunk_frames):
+            pcm_dev, state = _decode_batch_dev([ch[start:start + chunk_frames] for ch in channels], state)
+            spool.append(pcm_dev)
+            if on_progress:
+                on_progress(min(start + chunk_frames, nframes), nframes)
+        from carta1_tpu.jaxtools import fetch
+
+        outs = [fetch(p) for p in spool]
+    else:
+        for start in range(0, nframes, chunk_frames):
+            pcm, state = _decode_batch([ch[start:start + chunk_frames] for ch in channels], state, engine)
+            outs.append(pcm)
+            if on_progress:
+                on_progress(min(start + chunk_frames, nframes), nframes)
     pcm = np.concatenate(outs, axis=1)  # [C, F, 512]
     return pcm.reshape(len(channels), -1)
 
