@@ -318,18 +318,25 @@ def _imdct_consts(size: int) -> tuple[ConstTriple, ConstTriple, jnp.ndarray]:
     return cos_t, sin_t, np.ascontiguousarray(P.T)  # host numpy (lru-safe)
 
 
+# Read once at import: the choice is baked into lru-cached jits
+# (_decode_vmap_jit, _batched_imdct), so changing the env var mid-process
+# would silently do nothing — making it process-start-only is the honest
+# contract (ADVICE r3).
+import os as _os
+
+_EXACT_PALLAS_MODE = _os.environ.get("CARTA1_EXACT_PALLAS", "auto")
+
+
 def _use_pallas_imdct() -> bool:
     """Pallas transform core on TPU (default), XLA elsewhere.
 
-    CARTA1_EXACT_PALLAS=0 forces the XLA path, =1 forces Pallas.  Both
-    paths are bit-identical (same error-free op sequences; pinned by the
-    A/B test in tests/test_exact_decode.py and the on-chip golden gate)."""
-    import os
-
-    mode = os.environ.get("CARTA1_EXACT_PALLAS", "auto")
-    if mode == "0":
+    CARTA1_EXACT_PALLAS=0 forces the XLA path, =1 forces Pallas; the
+    variable is read ONCE at import (process-start-only).  Both paths are
+    bit-identical (same error-free op sequences; pinned by the A/B test
+    in tests/test_exact_decode.py and the on-chip golden gate)."""
+    if _EXACT_PALLAS_MODE == "0":
         return False
-    if mode == "1":
+    if _EXACT_PALLAS_MODE == "1":
         return True
     return jax.default_backend() == "tpu"
 

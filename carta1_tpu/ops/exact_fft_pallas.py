@@ -249,6 +249,11 @@ def _batched_imdct(size: int, interpret: bool):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, x):  # noqa: ANN001
+        # the kernel flattens leading axes into its lane dim, which is only
+        # correct when the operand really carries the vmapped axis; a
+        # closed-over unbatched operand would silently produce the wrong
+        # shape — fail loudly instead (ADVICE r3)
+        assert in_batched[0], "imdct_exact_pallas under vmap needs a batched operand"
         return f(x), True
 
     return f

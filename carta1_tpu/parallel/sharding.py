@@ -59,11 +59,11 @@ def _mask_state(state: dict, zero_state: dict, axis_name: str) -> dict:
     return jax.tree.map(lambda z, s: jnp.where(is_first, z, s), zero_state, state)
 
 
-def _encode_local(pcm_local: jnp.ndarray, thresholds, allocation_bias, axis_name: str):
+def _encode_local(pcm_local: jnp.ndarray, thresholds, allocation_bias, allocator, axis_name: str):
     halo = _left_halo(pcm_local, axis_name)
-    _, boundary = encode_step(halo, encoder_init_state(), thresholds, allocation_bias)
+    _, boundary = encode_step(halo, encoder_init_state(), thresholds, allocation_bias, allocator)
     state = _mask_state(boundary, encoder_init_state(), axis_name)
-    fd, _ = encode_step(pcm_local, state, thresholds, allocation_bias)
+    fd, _ = encode_step(pcm_local, state, thresholds, allocation_bias, allocator)
     return fd
 
 
@@ -75,13 +75,14 @@ def _decode_local(fd_local: FrameData, axis_name: str):
     return pcm
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "thresholds", "allocation_bias"))
-def _encode_sharded_jit(pcm, mesh, thresholds, allocation_bias):
+@functools.partial(jax.jit, static_argnames=("mesh", "thresholds", "allocation_bias", "allocator"))
+def _encode_sharded_jit(pcm, mesh, thresholds, allocation_bias, allocator="rdo"):
     fn = jax.shard_map(
         functools.partial(
             _encode_local,
             thresholds=thresholds,
             allocation_bias=allocation_bias,
+            allocator=allocator,
             axis_name=AXIS,
         ),
         mesh=mesh,
@@ -123,7 +124,9 @@ def encode_frames_sharded(pcm, options: EncoderOptions | None = None, mesh: Mesh
         pcm = np.concatenate([pcm, np.zeros((total - nframes, 512), np.float32)])
     sharding = NamedSharding(mesh, P(AXIS, None))
     pcm = jax.device_put(pcm, sharding)
-    fd = _encode_sharded_jit(pcm, mesh, options.band_thresholds, options.allocation_bias)
+    fd = _encode_sharded_jit(
+        pcm, mesh, options.band_thresholds, options.allocation_bias, options.allocator
+    )
     return fd[slice(0, nframes)] if total != nframes else fd
 
 

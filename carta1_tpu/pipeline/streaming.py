@@ -24,10 +24,10 @@ from carta1_tpu.pipeline.decoder import decode_step, decoder_init_state
 from carta1_tpu.pipeline.encoder import encode_step, encoder_init_state
 
 
-@functools.partial(jax.jit, static_argnames=("thresholds", "allocation_bias"))
-def _encode_scan_jit(chunks, state, thresholds, allocation_bias):
+@functools.partial(jax.jit, static_argnames=("thresholds", "allocation_bias", "allocator"))
+def _encode_scan_jit(chunks, state, thresholds, allocation_bias, allocator="rdo"):
     def body(carry, pcm_chunk):
-        fd, carry = encode_step(pcm_chunk, carry, thresholds, allocation_bias)
+        fd, carry = encode_step(pcm_chunk, carry, thresholds, allocation_bias, allocator)
         return carry, fd
 
     state, fds = jax.lax.scan(body, state, chunks)
@@ -40,7 +40,11 @@ def encode_stream(pcm_chunks, options: EncoderOptions | None = None, state=None)
     options = options or EncoderOptions()
     state = state if state is not None else encoder_init_state()
     return _encode_scan_jit(
-        jnp.asarray(pcm_chunks), state, options.band_thresholds, options.allocation_bias
+        jnp.asarray(pcm_chunks),
+        state,
+        options.band_thresholds,
+        options.allocation_bias,
+        options.allocator,
     )
 
 

@@ -142,6 +142,10 @@ def _encode_batch_dev(frames: np.ndarray, options: EncoderOptions, state):
     if state is None:
         state = _broadcast_state_np(encoder_init_state(), nch)
     from_i16 = frames.dtype == np.int16
+    if not from_i16 and frames.dtype != np.float32:
+        # normalize exotic dtypes (f64 PCM, int32, ...) on host: one jit
+        # variant, no reliance on implicit downcast semantics
+        frames = np.ascontiguousarray(frames, np.float32)
     fn = _encode_vmap_jit(
         options.band_thresholds, options.allocation_bias, options.allocator, from_i16
     )
@@ -203,19 +207,34 @@ def encode_pcm(
     per_channel_units: list[list[np.ndarray]] = [[] for _ in range(nch)]
     if engine == "tpu":
         # defer every download to the end (PERF.md relay rules): the
-        # first D2H would slow all later chunk uploads ~50x
+        # first D2H would slow all later chunk uploads ~50x.  The spool
+        # honors CARTA1_SPOOL_LIMIT_BYTES like encode_file does, so
+        # hour-scale in-memory inputs cannot exhaust HBM (drains early —
+        # correct, just slower).
+        from carta1_tpu.jaxtools import fetch
+
         spool = []
+        spool_bytes = 0
+        spool_limit = int(os.environ.get("CARTA1_SPOOL_LIMIT_BYTES", 2 << 30))
+
+        def _drain():
+            nonlocal spool_bytes
+            for units_dev in spool:
+                u = fetch(units_dev)
+                for ch in range(nch):
+                    per_channel_units[ch].append(u[ch])
+            spool.clear()
+            spool_bytes = 0
+
         for start in range(0, nframes, chunk_frames):
             units_dev, state = _encode_batch_dev(frames[:, start:start + chunk_frames], options, state)
             spool.append(units_dev)
+            spool_bytes += nch * chunk_frames * C.SOUND_UNIT_SIZE
+            if spool_bytes >= spool_limit:
+                _drain()
             if on_progress:
                 on_progress(min(start + chunk_frames, nframes), nframes)
-        from carta1_tpu.jaxtools import fetch
-
-        for units_dev in spool:
-            u = fetch(units_dev)
-            for ch in range(nch):
-                per_channel_units[ch].append(u[ch])
+        _drain()
     else:
         for start in range(0, nframes, chunk_frames):
             chunk = frames[:, start:start + chunk_frames]
@@ -251,15 +270,31 @@ def decode_units(
     state = None
     outs: list[np.ndarray] = []
     if engine == "tpu":
+        # decoded chunks are [C, chunk, 512] f32 (~16 MB per stereo 8192-
+        # frame chunk) — the spool guard matters even more than on the
+        # encode side (ADVICE r3): drain early past the HBM budget.
+        from carta1_tpu.jaxtools import fetch
+
         spool = []
+        spool_bytes = 0
+        spool_limit = int(os.environ.get("CARTA1_SPOOL_LIMIT_BYTES", 2 << 30))
+
+        def _drain():
+            nonlocal spool_bytes
+            for p in spool:
+                outs.append(fetch(p))
+            spool.clear()
+            spool_bytes = 0
+
         for start in range(0, nframes, chunk_frames):
             pcm_dev, state = _decode_batch_dev([ch[start:start + chunk_frames] for ch in channels], state)
             spool.append(pcm_dev)
+            spool_bytes += len(channels) * chunk_frames * C.SAMPLES_PER_FRAME * 4
+            if spool_bytes >= spool_limit:
+                _drain()
             if on_progress:
                 on_progress(min(start + chunk_frames, nframes), nframes)
-        from carta1_tpu.jaxtools import fetch
-
-        outs = [fetch(p) for p in spool]
+        _drain()
     else:
         for start in range(0, nframes, chunk_frames):
             pcm, state = _decode_batch([ch[start:start + chunk_frames] for ch in channels], state, engine)
@@ -365,6 +400,7 @@ def encode_file(
     checkpoint: str | None = None,
     checkpoint_every: int = 4,
     mesh=None,
+    timings: dict | None = None,
 ) -> TranscodeResult:
     """Bounded-memory streaming encode: memmapped WAV in, incremental AEA
     out, O(chunk) host memory regardless of file length (reference streams
@@ -374,7 +410,12 @@ def encode_file(
     `checkpoint_every` chunks as (frame offset, codec-state pytree); a
     killed run resumes mid-file and produces byte-identical output (chunk
     boundaries are part of the checkpoint, so the jit batch split — and
-    therefore every rounding — replays identically)."""
+    therefore every rounding — replays identically).
+
+    `timings`, if given, is filled with a wall-clock phase breakdown
+    (read_s, dispatch_s, drain_fetch_s, write_s, n_drains) so a slow run
+    is attributable — no opaque single number (VERDICT r3 item 2)."""
+    import time as _time
     from carta1_tpu.io.streams import AeaStreamWriter, StreamCheckpoint, WavStreamReader
 
     reader = WavStreamReader(input_wav)
@@ -413,15 +454,22 @@ def encode_file(
     spool: list[tuple[object, int]] = []  # (device units [C, n_chunk, 212], n_real)
     spool_bytes = 0
     spool_limit = int(os.environ.get("CARTA1_SPOOL_LIMIT_BYTES", 2 << 30))
+    ph = {"read_s": 0.0, "dispatch_s": 0.0, "drain_fetch_s": 0.0, "write_s": 0.0, "n_drains": 0}
 
     def _drain() -> None:
         nonlocal spool_bytes
         from carta1_tpu.jaxtools import fetch
 
         for units_dev, n_real in spool:
+            t = _time.perf_counter()
             u = fetch(units_dev)
+            ph["drain_fetch_s"] += _time.perf_counter() - t
             per_ch = [u[ch, :n_real] for ch in range(nch)]
+            t = _time.perf_counter()
             writer.append(per_ch[0] if nch == 1 else aea.interleave_stereo(per_ch[0], per_ch[1]))
+            ph["write_s"] += _time.perf_counter() - t
+        if spool:
+            ph["n_drains"] += 1
         spool.clear()
         spool_bytes = 0
 
@@ -434,11 +482,15 @@ def encode_file(
         # frames are silence appended AFTER the real data and their units
         # are sliced away
         if use_dev_spool:
+            t = _time.perf_counter()
             raw = reader.read_frames_i16(cs, chunk_frames)
             if raw is None:  # 24/32-bit input: f32 upload path
                 raw = reader.read_frames(cs, chunk_frames)
             chunk = raw.reshape(nch, chunk_frames, C.SAMPLES_PER_FRAME)
+            ph["read_s"] += _time.perf_counter() - t
+            t = _time.perf_counter()
             units_dev, state = _encode_batch_dev(chunk, options, state)
+            ph["dispatch_s"] += _time.perf_counter() - t
             spool.append((units_dev, n))
             spool_bytes += nch * chunk_frames * C.SOUND_UNIT_SIZE
             if spool_bytes >= spool_limit:
@@ -461,6 +513,8 @@ def encode_file(
         if on_progress:
             on_progress(cs + n, nframes)
     _drain()
+    if timings is not None:
+        timings.update({k: (round(v, 4) if isinstance(v, float) else v) for k, v in ph.items()})
     total_units = writer.frames_written
     writer.close()
     if ckpt is not None:

@@ -69,6 +69,34 @@ def test_sharded_decode_bitwise_gold_oracle():
     assert np.array_equal(float_to_int16(got), float_to_int16(want))
 
 
+def test_allocator_reaches_every_encode_path():
+    """options.allocator must take effect on the batched, sharded, and scan
+    paths alike (engines-interchangeable contract): allocator="reference"
+    yields the same word lengths everywhere, and those word lengths differ
+    from the rdo default's somewhere (proving the option was not dropped)."""
+    from carta1_tpu.options import EncoderOptions
+    from carta1_tpu.pipeline.streaming import chunk_frames_array, encode_stream
+
+    pcm = _signal(8 * 4, seed=11)
+    opts_ref = EncoderOptions(allocator="reference")
+
+    fd_batched, _ = encode_frames(pcm, opts_ref)
+    wl_batched = np.asarray(fd_batched.word_lengths)
+
+    fd_default, _ = encode_frames(pcm)
+    assert not np.array_equal(wl_batched, np.asarray(fd_default.word_lengths)), (
+        "signal must discriminate the allocators for this test to mean anything"
+    )
+
+    fd_shard = encode_frames_sharded(pcm, opts_ref)
+    assert np.array_equal(np.asarray(fd_shard.word_lengths), wl_batched)
+
+    chunks, _ = chunk_frames_array(pcm, 8)
+    fd_scan, _ = encode_stream(chunks, opts_ref)
+    wl_scan = np.asarray(fd_scan.word_lengths).reshape(-1, wl_batched.shape[1])
+    assert np.array_equal(wl_scan, wl_batched)
+
+
 def test_sharded_ragged_frame_count():
     """Frame counts that don't divide the mesh get tail-padded and trimmed."""
     pcm = _signal(21, seed=3)  # 21 frames on 8 devices
