@@ -43,22 +43,23 @@ def synth_audio(nframes: int, channels: int = 2) -> np.ndarray:
     return out
 
 
-def bench_tpu_chain(iters: int, frames_per_chunk: int = 8192) -> float:
-    """Wall seconds for `iters` full-transcode iterations + forced sync.
+def bench_tpu_chains(n1: int, n2: int, frames_per_chunk: int = 8192) -> dict:
+    """Timed transcode chains, in-process, after paying the first-sync cost.
 
-    Measurement rules this methodology encodes (all measured, r3; PERF.md
-    "Relay transfer pathology" + "Honest timing"):
+    Measurement rules this methodology encodes (r3 + r4, all measured;
+    PERF.md "Relay transfer pathology" + "Honest timing r4"):
 
     * ``jax.block_until_ready`` does NOT guarantee execution completion on
-      this relay runtime (chains "finished" 20x faster than the VPU can
-      compute) — the only reliable sync is materializing a VALUE on host.
-      Each call folds its outputs into a scalar checksum accumulator; the
-      chain ends with ONE scalar download.
-    * That download is the process's first D2H, with a large but stable
-      fixed latency — so throughput must be taken as a MARGINAL rate
-      between two chain lengths, each in a fresh process (any second
-      measurement in the same process runs with poisoned ~60 ms/call
-      dispatch).
+      this relay runtime — the only reliable sync is materializing a VALUE
+      on host.  Each call folds its outputs into a scalar checksum
+      accumulator; each timed chain ends with a scalar download.
+    * The FIRST host sync in a process costs a large and WILDLY VARIABLE
+      fixed latency (measured 30 s / 75 s / 177 s on consecutive runs,
+      r4); every later sync is milliseconds.  r3 took marginal rates
+      across two processes, which let that variance pollute the delta —
+      instead, pay the first sync once, UNTIMED, then time chains whose
+      value syncs are cheap.  Two chain lengths are still timed so the
+      artifact carries an internal consistency check.
     * Per-iteration outputs must not be retained: hundreds of queued
       [8192, 512] buffers stall the allocator.  The checksum wrapper
       returns only scalars + states, so deep chains are memory-safe.
@@ -90,6 +91,7 @@ def bench_tpu_chain(iters: int, frames_per_chunk: int = 8192) -> float:
     # runtime re-ship the binary every call (~2.6 s/call measured — the
     # r1 "program-cache thrash" note, scaled up by executable size)
     pcm = [jax.device_put(np.ascontiguousarray(host[ch])) for ch in range(2)]
+    t0 = time.perf_counter()
     chans = []
     for ch in range(2):  # warmup / compile
         acc, es, ds = transcode_step(
@@ -97,55 +99,76 @@ def bench_tpu_chain(iters: int, frames_per_chunk: int = 8192) -> float:
         )
         chans.append([acc, es, ds])
     jax.block_until_ready(chans)
+    warm_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        for ch in range(2):
-            acc, es, ds = chans[ch]
-            chans[ch] = list(transcode_step(pcm[ch], es, ds, acc))
-    sink = float(np.asarray(chans[0][0])) + float(np.asarray(chans[1][0]))
-    assert np.isfinite(sink)
-    return time.perf_counter() - t0
+    sink = float(np.asarray(chans[0][0]))  # pay the variable first-sync cost
+    first_sync_s = time.perf_counter() - t0
+
+    def chain(iters: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for ch in range(2):
+                acc, es, ds = chans[ch]
+                chans[ch] = list(transcode_step(pcm[ch], es, ds, acc))
+        s = float(np.asarray(chans[0][0])) + float(np.asarray(chans[1][0]))
+        assert np.isfinite(s)
+        return time.perf_counter() - t0
+
+    t_a, t_b = chain(n1), chain(n2)
+    fpi = 2 * frames_per_chunk
+    return {
+        "warm_s": round(warm_s, 2),
+        "first_sync_s": round(first_sync_s, 2),
+        "n1": n1, "t1_s": round(t_a, 3), "fps1": round(fpi * n1 / t_a, 1),
+        "n2": n2, "t2_s": round(t_b, 3), "fps2": round(fpi * n2 / t_b, 1),
+        "fps_marginal": round(fpi * (n2 - n1) / (t_b - t_a), 1) if t_b > t_a else None,
+    }
 
 
-def bench_tpu(n1: int = 16, n2: int = 96) -> float:
+def bench_tpu(n1: int = 16, n2: int = 64) -> tuple[float, dict]:
     """Steady-state frames/s/chip of the full device pipeline.
 
-    Marginal rate between two chain lengths, each in a fresh subprocess
-    (see bench_tpu_chain).  Retries once on a non-positive delta (relay
-    weather); falls back to the conservative whole-run rate."""
+    One fresh subprocess (one program per process) runs both chains
+    in-process post-first-sync (bench_tpu_chains); the headline is the
+    longer chain's whole-run rate (every second of it is real work), with
+    the shorter chain + marginal kept in the artifact as a consistency
+    check.  Retries once on failure (relay weather)."""
     import os
     import subprocess
     import sys
 
-    def chain(n: int) -> float | None:
+    def run() -> dict | None:
         try:
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--tpu-chain", str(n)],
-                capture_output=True, text=True, timeout=1200,
+                [sys.executable, os.path.abspath(__file__), "--tpu-chains",
+                 str(n1), str(n2)],
+                capture_output=True, text=True, timeout=1800,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            return float(r.stdout.strip().splitlines()[-1])
+            if r.returncode != 0:  # a crash's partial stdout is not a timing
+                return None
+            return json.loads(r.stdout.strip().splitlines()[-1])
         except (subprocess.TimeoutExpired, ValueError, IndexError):
             return None
 
-    t1, t2 = chain(n1), chain(n2)
-    if t1 is not None and t2 is not None and t2 > t1 * 1.05:
-        return 2 * 8192 * (n2 - n1) / (t2 - t1)
-    if t2 is not None:  # weather: report the conservative whole-run rate
-        return 2 * 8192 * n2 / t2
-    if t1 is not None:
-        return 2 * 8192 * n1 / t1
-    return 0.0
+    d = run() or run()
+    if d is None:
+        return 0.0, {"error": "both chain subprocesses failed"}
+    return d.get("fps2") or 0.0, d
 
 
-def bench_encode_corpus(nframes: int = 49152) -> float:
+def bench_encode_corpus(nframes: int = 49152) -> dict:
     """BASELINE config 2: streaming corpus encode, WAV -> AEA, one chip.
 
     The actual north-star metric (BASELINE.md:32): wall-clock frames/s of
     `encode_file` on real files — memmapped WAV reader, chunked device
     encode with in-graph pack, incremental AEA writer — including all host
-    IO (tmpfs), not just device steady state."""
+    IO (tmpfs), not just device steady state.
+
+    Returns a dict with "fps" PLUS a phase breakdown (warm_s, read_s,
+    dispatch_s, drain_fetch_s, write_s, other_s) so every second of a slow
+    run is attributable in the BENCH artifact (VERDICT r3 item 2)."""
     import os
     import tempfile
 
@@ -161,20 +184,42 @@ def bench_encode_corpus(nframes: int = 49152) -> float:
         wav = os.path.join(d, "bench.wav")
         out = os.path.join(d, "bench.aea")
         write_wav(wav, synth_audio(nframes // 2, channels=2).reshape(2, -1))
-        # warm the compile WITHOUT any device->host copy: the first D2H in
-        # a process permanently degrades H2D ~50x on this relay runtime
-        # (PERF.md), so warming via a small encode_file (which downloads
-        # its units) would poison the very path being measured
+        # Warm phase = compile + the process's FIRST host sync.  That first
+        # sync has a large, wildly variable fixed cost (30-177 s measured
+        # r4, "Honest timing r4") — a one-time per-process-lifetime relay
+        # cost, not per-file work, so a steady-state corpus metric pays it
+        # before the timed region.  The r3 bench left it inside the timed
+        # encode_file drain, which is what produced the unexplained
+        # 218 f/s driver capture (VERDICT r3 item 2).  Cost of paying it
+        # early: later H2D uploads run on the degraded path (~20-30 MB/s);
+        # that is seconds for this workload and is visible in dispatch_s.
+        t0 = time.perf_counter()
         warm_units, warm_state = _encode_batch_dev(
             np.zeros((2, DEFAULT_CHUNK_FRAMES, 512), np.int16), EncoderOptions(), None
         )
         jax.block_until_ready((warm_units, warm_state))
-        del warm_units, warm_state
+        warm_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        r = encode_file(wav, out)
+        # whole-buffer copy of a tiny state leaf: no slicing program, so
+        # the big encode executable stays resident (r1 thrash note)
+        first_sync = np.asarray(warm_state["qmf_low_delay"])
+        assert np.isfinite(first_sync).all()
+        first_sync_s = time.perf_counter() - t0
+        del warm_units, warm_state
+        phases: dict = {}
+        t0 = time.perf_counter()
+        r = encode_file(wav, out, timings=phases)
         elapsed = time.perf_counter() - t0
         assert r.frames == nframes
-    return nframes / elapsed
+    accounted = sum(v for k, v in phases.items() if k.endswith("_s"))
+    return {
+        "fps": round(nframes / elapsed, 1),
+        "elapsed_s": round(elapsed, 3),
+        "warm_s": round(warm_s, 3),
+        "first_sync_s": round(first_sync_s, 3),
+        **phases,
+        "other_s": round(elapsed - accounted, 3),
+    }
 
 
 def bench_gold_encode_baseline(nframes: int = 512) -> float:
@@ -219,13 +264,13 @@ def bench_gold_baseline(nframes: int = 512) -> float:
     return nframes / elapsed
 
 
-def _corpus_fps_subprocess() -> float:
+def _corpus_fps_subprocess() -> dict:
     """bench_encode_corpus in a FRESH process.
 
     Two reasons (PERF.md "Relay transfer pathology"): the metric needs the
     un-poisoned H2D path, which any prior D2H in this process destroys;
     and relay bandwidth swings ~4x run-to-run, so main() takes the best
-    of two isolated runs."""
+    of two isolated runs.  Returns the fps + phase-breakdown dict."""
     import os
     import subprocess
     import sys
@@ -236,9 +281,11 @@ def _corpus_fps_subprocess() -> float:
             capture_output=True, text=True, timeout=900,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        return float(r.stdout.strip().splitlines()[-1])
-    except (subprocess.TimeoutExpired, ValueError, IndexError):
-        return 0.0
+        if r.returncode != 0:  # a crash's partial stdout is not a timing
+            return {"fps": 0.0, "error": f"rc={r.returncode}"}
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, ValueError, IndexError) as e:
+        return {"fps": 0.0, "error": type(e).__name__}
 
 
 def main() -> None:
@@ -247,8 +294,9 @@ def main() -> None:
     # runs in fresh subprocesses (its own final unit download is part of
     # its measurement).  bench_tpu's timed loop is transfer-free, so it is
     # immune to the poisoned state it then runs under.
-    encode_fps = max(_corpus_fps_subprocess() for _ in range(2))
-    tpu_fps = bench_tpu()
+    corpus = max((_corpus_fps_subprocess() for _ in range(2)), key=lambda d: d.get("fps", 0.0))
+    encode_fps = corpus.get("fps", 0.0)
+    tpu_fps, tpu_detail = bench_tpu()
     # single-core baselines are host-only; best-of-3 to shed machine noise
     gold_fps = max(bench_gold_baseline() for _ in range(3))
     gold_encode_fps = max(bench_gold_encode_baseline() for _ in range(3))
@@ -267,6 +315,11 @@ def main() -> None:
                 "encode_corpus_vs_baseline": round(
                     encode_fps / (100.0 * gold_encode_fps), 3
                 ),
+                # wall-clock attribution of the corpus run (best of 2):
+                # every second accounted, no opaque number (VERDICT r3)
+                "encode_corpus_phases": corpus,
+                # chain timings behind `value` (internal consistency check)
+                "transcode_chains": tpu_detail,
             }
         )
     )
@@ -277,9 +330,9 @@ if __name__ == "__main__":
     import sys
 
     if "--corpus-only" in sys.argv:
-        print(bench_encode_corpus())
-    elif "--tpu-chain" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--tpu-chain") + 1])
-        print(bench_tpu_chain(n))
+        print(json.dumps(bench_encode_corpus()))
+    elif "--tpu-chains" in sys.argv:
+        i = sys.argv.index("--tpu-chains")
+        print(json.dumps(bench_tpu_chains(int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
     else:
         main()

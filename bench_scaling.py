@@ -1,70 +1,166 @@
 """Scaling-efficiency harness: sharded transcode throughput at 1..N devices.
 
-Measures `encode_frames_sharded` + `decode_frames_sharded` (frame-axis data
-parallelism with 2-frame halo exchange, parallel/sharding.py) against the
-single-device pipeline and reports scaling efficiency per device count.
+Measures the sharded transcode (frame-axis data parallelism with 2-frame
+halo exchange, parallel/sharding.py) per mesh size under the repo's honest
+timing methodology (PERF.md "Honest timing r4"): ``jax.block_until_ready``
+is NOT a reliable completion signal on this relay runtime, so every chain
+ends in a host VALUE; the first host sync in a process has a large variable
+fixed cost, so each mesh size's subprocess pays it once, untimed, then
+times two chain lengths in-process (the pair is a consistency check).
 
-On a multi-chip/multi-host slice this measures real ICI/DCN scaling; on a
-single-chip or CPU host it still validates the collective path end-to-end by
-running on a virtual device mesh (set
-XLA_FLAGS=--xla_force_host_platform_device_count=8 CARTA1_PLATFORM=cpu).
+The timed program is pure device work (shard_map(encode -> decode) over the
+mesh, input resident and sharded) — the host plumbing of
+encode_frames_sharded/decode_frames_sharded is deliberately outside it.
 
-Output: one JSON line per mesh size.
+On a multi-chip slice this measures real ICI scaling; on this single-chip
+host the driver story is (BASELINE "scaling efficiency measured at 1 chip /
+1 host / N hosts"):
+  * virtual 8-device CPU mesh — validates the collective path end-to-end
+    (a correctness signal, NOT an ICI measurement), and
+  * the real chip at n=1.
+
+Output: one JSON line per mesh size + SCALING_r04.json next to this file.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+ARTIFACT = os.path.join(REPO, "SCALING_r04.json")
 
-def main() -> None:
-    if os.environ.get("CARTA1_PLATFORM"):
-        import jax
 
-        jax.config.update("jax_platforms", os.environ["CARTA1_PLATFORM"])
+def chain_seconds(n_devices: int, n1: int, n2: int, frames_per_device: int) -> dict:
+    """Child mode: warm the sharded transcode, pay the first sync, time two
+    chains; print a JSON dict."""
+    import functools
+
     import jax
 
+    if os.environ.get("CARTA1_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["CARTA1_PLATFORM"])
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from bench import synth_audio
-    from carta1_tpu.parallel import decode_frames_sharded, encode_frames_sharded, make_mesh
+    from carta1_tpu.jaxtools import hoisted_jit
+    from carta1_tpu.parallel.sharding import AXIS, _decode_local, _encode_local, make_mesh
 
-    devices = jax.devices()
-    frames_per_device = int(os.environ.get("CARTA1_SCALE_FRAMES", "2048"))
-    iters = int(os.environ.get("CARTA1_SCALE_ITERS", "5"))
+    devices = jax.devices()[:n_devices]
+    assert len(devices) == n_devices, f"need {n_devices} devices, have {len(devices)}"
+    mesh = make_mesh(devices)
+    nframes = frames_per_device * n_devices
+    pcm_host = synth_audio(nframes, channels=1)[0].reshape(nframes, 512)
+    pcm = jax.device_put(pcm_host, NamedSharding(mesh, P(AXIS, None)))
 
-    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
-    base_fps = None
-    for n in sizes:
-        mesh = make_mesh(devices[:n])
-        nframes = frames_per_device * n
-        pcm = synth_audio(nframes, channels=1)[0].reshape(nframes, 512)
+    def transcode(p):
+        fd = _encode_local(p, (1.0, 1.0, 1.0), 1.0, "rdo", AXIS)
+        return _decode_local(fd, AXIS)
 
-        fd = encode_frames_sharded(pcm, mesh=mesh)
-        out = decode_frames_sharded(fd, mesh=mesh)
-        jax.block_until_ready(out)
+    sharded = jax.shard_map(transcode, mesh=mesh, in_specs=P(AXIS, None), out_specs=P(AXIS))
 
+    @functools.partial(hoisted_jit, donate_argnums=(1,))
+    def step(p, acc):
+        return acc + jnp.abs(sharded(p)).astype(jnp.float32).sum()
+
+    t0 = time.perf_counter()
+    acc = step(pcm, jnp.float32(0))  # warm/compile
+    jax.block_until_ready(acc)
+    warm_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sink = float(np.asarray(acc))  # pay the variable first-sync cost
+    first_sync_s = time.perf_counter() - t0
+    assert np.isfinite(sink)
+
+    def chain(iters: int) -> float:
+        nonlocal acc
         t0 = time.perf_counter()
         for _ in range(iters):
-            fd = encode_frames_sharded(pcm, mesh=mesh)
-            out = decode_frames_sharded(fd, mesh=mesh)
-        jax.block_until_ready(out)
-        fps = nframes * iters / (time.perf_counter() - t0)
-        if base_fps is None:
-            base_fps = fps
-        eff = fps / (base_fps * n)
-        print(
-            json.dumps(
-                {
-                    "devices": n,
-                    "frames_per_s": round(fps, 1),
-                    "scaling_efficiency": round(eff, 3),
-                    "platform": devices[0].platform,
-                }
-            )
+            acc = step(pcm, acc)
+        s = float(np.asarray(acc))
+        assert np.isfinite(s)
+        return time.perf_counter() - t0
+
+    t_a, t_b = chain(n1), chain(n2)
+    return {
+        "devices": n_devices,
+        "warm_s": round(warm_s, 2),
+        "first_sync_s": round(first_sync_s, 2),
+        "n1": n1, "t1_s": round(t_a, 3), "fps1": round(nframes * n1 / t_a, 1),
+        "n2": n2, "t2_s": round(t_b, 3), "fps2": round(nframes * n2 / t_b, 1),
+        "fps_marginal": round(nframes * (n2 - n1) / (t_b - t_a), 1) if t_b > t_a else None,
+    }
+
+
+def measure(n: int, platform: str | None, frames_per_device: int, n1: int, n2: int) -> dict | None:
+    env = dict(os.environ)
+    if platform == "cpu":
+        env["CARTA1_PLATFORM"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--chain", str(n),
+             "--n1", str(n1), "--n2", str(n2),
+             "--frames-per-device", str(frames_per_device)],
+            capture_output=True, text=True, timeout=3000, cwd=REPO, env=env,
         )
+        if r.returncode != 0:
+            sys.stderr.write(f"[n={n} {platform}] rc={r.returncode}\n{r.stderr[-2000:]}\n")
+            return None
+        d = json.loads(r.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, ValueError, IndexError) as e:
+        sys.stderr.write(f"[n={n} {platform}] {e}\n")
+        return None
+    d["platform"] = platform or "default"
+    d["frames_per_s"] = d.get("fps2") or 0.0
+    return d
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--chain", type=int)
+    p.add_argument("--frames-per-device", type=int, default=2048)
+    p.add_argument("--n1", type=int, default=8)
+    p.add_argument("--n2", type=int, default=24)
+    a = p.parse_args()
+
+    if a.chain:
+        print(json.dumps(chain_seconds(a.chain, a.n1, a.n2, a.frames_per_device)))
+        return
+
+    results = []
+    # virtual CPU mesh: collective-path scaling signal
+    cpu_base = None
+    for n in (1, 2, 4, 8):
+        r = measure(n, "cpu", a.frames_per_device, a.n1, a.n2)
+        if r is None:
+            continue
+        if cpu_base is None:
+            cpu_base = r["frames_per_s"]
+        r["scaling_efficiency"] = round(r["frames_per_s"] / (cpu_base * n), 3)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    # the real chip at n=1 (the only real device count on this host)
+    r = measure(1, None, a.frames_per_device, a.n1, a.n2)
+    if r is not None:
+        r["scaling_efficiency"] = 1.0
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    with open(ARTIFACT, "w") as f:
+        json.dump({"frames_per_device": a.frames_per_device, "n1": a.n1, "n2": a.n2,
+                   "results": results}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,8 @@ _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# keep cache keys independent of the cache dir's own path (see jaxsetup.py)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 
 # ---------------------------------------------------------------------------
