@@ -492,12 +492,19 @@ def _qmf_tap_splits() -> tuple[np.ndarray, ...]:
 def qmf_synthesis_exact(low: jnp.ndarray, high: jnp.ndarray, delay: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """low, high: [F, S]; delay: [46].  Returns (out [F, 2S], new_delay).
 
-    Bit-identical to gold qmf_synthesis_stream chained over the frames."""
+    Bit-identical to gold qmf_synthesis_stream chained over the frames.
+    The 24-tap exact accumulation runs as a VMEM-resident Pallas kernel on
+    TPU (ops/exact_qmf_pallas.py, same op sequence → same bits); the XLA
+    loop below is the CPU/test path and the CARTA1_EXACT_PALLAS=0 fallback."""
     nframes, s = low.shape
     # merged stores: 0.5*(l±h) — a single f64 add + exact halving double-rounds
     # innocuously, so plain f32 matches the reference bit-for-bit
     merged = jnp.stack([0.5 * (low + high), 0.5 * (low - high)], axis=-1).reshape(nframes, 2 * s)
     work = halo_prefix(merged, delay)                # [F, 46 + 2S]
+    if _use_pallas_imdct():
+        from carta1_tpu.ops.exact_qmf_pallas import qmf_taps_pallas
+
+        return qmf_taps_pallas(work), merged[-1, -C.QMF_DELAY:]
     wh, wl = split(work)
     ev, evh, evl, od, odh, odl = _qmf_tap_splits()
 

@@ -128,6 +128,44 @@ def test_decode_frames_bitwise_random_stream_chunked():
 # Interpreter mode — runs on the CPU test backend; the compiled TPU kernel
 # is pinned by the on-chip gate (verify_tpu.py / QUALITY_r*.json).
 # ---------------------------------------------------------------------------
+@pytest.mark.parametrize("s,lead", [(128, (6,)), (256, (3,)), (128, (2, 4))])
+def test_qmf_taps_pallas_interpret_bitwise(s, lead):
+    """The QMF-synthesis tap kernel must equal the XLA loop bit-for-bit.
+
+    Replicates qmf_synthesis_exact's XLA branch by hand (the dispatch gate
+    picks exactly one path per backend, so the A/B must build both)."""
+    import jax.numpy as jnp
+
+    from carta1_tpu.ops.df import acc3_add, acc3_to_f32, acc3_zero, split, two_prod_presplit
+    from carta1_tpu.ops.exact_decode import _qmf_tap_splits
+    from carta1_tpu.ops.exact_qmf_pallas import qmf_taps_pallas
+
+    rng = np.random.default_rng(s + len(lead))
+    work = (rng.standard_normal(lead + (46 + 2 * s,)) * 0.6).astype(np.float32)
+
+    def xla_taps(work):
+        wh, wl = split(work)
+        ev, evh, evl, od, odh, odl = _qmf_tap_splits()
+        acc0 = acc3_zero(work.shape[:-1] + (s,))
+        acc1 = acc3_zero(work.shape[:-1] + (s,))
+        for j in range(24):
+            sl0 = (..., slice(2 * j, 2 * j + 2 * s, 2))
+            sl1 = (..., slice(2 * j + 1, 2 * j + 2 * s + 1, 2))
+            p, e = two_prod_presplit(work[sl0], wh[sl0], wl[sl0],
+                                     jnp.float32(ev[j]), jnp.float32(evh[j]), jnp.float32(evl[j]))
+            acc0 = acc3_add(acc0, p, e)
+            p, e = two_prod_presplit(work[sl1], wh[sl1], wl[sl1],
+                                     jnp.float32(od[j]), jnp.float32(odh[j]), jnp.float32(odl[j]))
+            acc1 = acc3_add(acc1, p, e)
+        return jnp.stack([acc3_to_f32(acc1), acc3_to_f32(acc0)], axis=-1).reshape(
+            work.shape[:-1] + (2 * s,)
+        )
+
+    a = np.asarray(jax.jit(xla_taps)(work))
+    b = np.asarray(jax.jit(lambda w: qmf_taps_pallas(w, interpret=True))(work))
+    assert (a.view(np.int32) == b.view(np.int32)).all()
+
+
 @pytest.mark.parametrize("size,lead", [(64, (4, 16)), (256, (2, 3)), (512, (5,))])
 def test_imdct_pallas_interpret_bitwise(size, lead):
     from carta1_tpu.ops.exact_decode import imdct_exact_xla
