@@ -158,7 +158,7 @@ def bench_tpu(n1: int = 16, n2: int = 64) -> tuple[float, dict]:
     return d.get("fps2") or 0.0, d
 
 
-def bench_encode_corpus(nframes: int = 49152) -> dict:
+def bench_encode_corpus(nframes: int = 196608) -> dict:
     """BASELINE config 2: streaming corpus encode, WAV -> AEA, one chip.
 
     The actual north-star metric (BASELINE.md:32): wall-clock frames/s of
@@ -278,7 +278,7 @@ def _corpus_fps_subprocess() -> dict:
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--corpus-only"],
-            capture_output=True, text=True, timeout=900,
+            capture_output=True, text=True, timeout=1800,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         if r.returncode != 0:  # a crash's partial stdout is not a timing
