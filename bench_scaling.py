@@ -90,6 +90,9 @@ def chain_seconds(n_devices: int, n1: int, n2: int, frames_per_device: int) -> d
         assert np.isfinite(s)
         return time.perf_counter() - t0
 
+    chain(4)  # untimed: XLA:CPU warms up dramatically over the first calls
+              # (thread pools, page-faulting the big executable) — measured
+              # 6x drift between a cold and a warmed chain in one process
     t_a, t_b = chain(n1), chain(n2)
     return {
         "devices": n_devices,

@@ -201,9 +201,18 @@ def _core_body(xp, pp, st, size: int):
     return jnp.concatenate([r1, i1], axis=0)  # [half, T]
 
 
+def _out_vma(x) -> tuple:
+    """Varying-mesh-axes of a traced operand, as a hashable key.
+
+    Inside `jax.shard_map` (check_vma=True) a pallas_call's out_shape must
+    declare how the output varies across mesh axes; outside, vma is empty.
+    The kernel output varies exactly like its batched operand."""
+    return tuple(sorted(getattr(jax.typeof(x), "vma", ()) or ()))
+
+
 @functools.lru_cache(maxsize=None)
-def _imdct_core_call(size: int, tile: int, nb: int, interpret: bool = False):
-    """pallas_call for one (size, tile, grid) configuration.
+def _imdct_core_call(size: int, tile: int, nb: int, interpret: bool = False, vma: tuple = ()):
+    """pallas_call for one (size, tile, grid, vma) configuration.
 
     interpret=True runs the kernel in the Pallas interpreter (any backend)
     — used by the CPU test suite to pin Pallas==XLA bitwise equality
@@ -220,7 +229,7 @@ def _imdct_core_call(size: int, tile: int, nb: int, interpret: bool = False):
     st_shape = _kernel_consts(size)[2].shape
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((half, nb * tile), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((half, nb * tile), jnp.float32, vma=frozenset(vma)),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((half, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -287,7 +296,9 @@ def _imdct_impl(x: jnp.ndarray, size: int, interpret: bool = False) -> jnp.ndarr
     nb = x2.shape[-1] // tile
 
     xp = fmatmul(jnp.asarray(pin), x2)               # fold deinterleave+flip+bitrev+negate
-    core = _imdct_core_call(size, tile, nb, interpret)(xp, jnp.asarray(prepost), jnp.asarray(stages))
+    core = _imdct_core_call(size, tile, nb, interpret, _out_vma(xp))(
+        xp, jnp.asarray(prepost), jnp.asarray(stages)
+    )
     out = fmatmul(jnp.asarray(p_t), core)            # [size, B+pad]
     if pad:
         out = out[:, :b]

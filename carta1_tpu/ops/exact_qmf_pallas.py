@@ -76,7 +76,7 @@ def _tap_body(we, wo, s: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _qmf_core_call(s: int, tile: int, nb: int, interpret: bool = False):
+def _qmf_core_call(s: int, tile: int, nb: int, interpret: bool = False, vma: tuple = ()):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -87,7 +87,7 @@ def _qmf_core_call(s: int, tile: int, nb: int, interpret: bool = False):
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((2 * s, nb * tile), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2 * s, nb * tile), jnp.float32, vma=frozenset(vma)),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((p_len, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -119,7 +119,9 @@ def _qmf_taps_impl(work: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
         wo = jnp.pad(wo, ((0, 0), (0, pad)))
     nb = we.shape[-1] // tile
 
-    out = _qmf_core_call(s, tile, nb, interpret)(we, wo)   # [2s, B+pad]
+    from carta1_tpu.ops.exact_fft_pallas import _out_vma
+
+    out = _qmf_core_call(s, tile, nb, interpret, _out_vma(we))(we, wo)  # [2s, B+pad]
     if pad:
         out = out[:, :b]
     # [2s, B] blocks (s1 | s0) -> interleaved [B, 2s]
