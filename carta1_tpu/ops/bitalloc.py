@@ -125,13 +125,34 @@ def allocate_bits_rdo(bfu_data: jnp.ndarray, sf_idx: jnp.ndarray, allocation_bia
     nframes = sf_idx.shape[0]
     bias = float(allocation_bias)
 
-    errs = []
-    for wl in range(16):
+    # one traced quantize/dequantize graph vmapped over the 16 word
+    # lengths (was an unrolled 16x Python loop), with the scale-factor
+    # one-hot lookup hoisted out of the vmapped body — together the
+    # encode program's cold compile drops ~2x (it was dominated by this
+    # error block; see PERF.md "Compile time r4").  The body replicates
+    # ops/coding.quantize + dequantize op-for-op on the precomputed sf32.
+    from carta1_tpu.ops.coding import _SF_TABLE32, quant_range, table_lookup
+
+    sf32 = table_lookup(_SF_TABLE32, sf_idx)                     # [F, 52]
+    sf_on = sf_idx > 0
+
+    def _err_at(wl):
         wla = jnp.full_like(sf_idx, wl)
-        deq = dequantize(quantize(bfu_data, sf_idx, wla), sf_idx, wla)
-        d = jnp.where(_SLOT_MASK_B, bfu_data - deq, 0.0)
-        errs.append(jnp.sum(d * d, axis=-1))                     # [F, 52]
-    err = jnp.stack(errs, axis=-1)                               # [F, 52, 16]
+        rng = quant_range(wla)
+        active = (rng > 0) & sf_on
+        norm = jnp.where(active, rng.astype(jnp.float32) / jnp.where(sf32 > 0, sf32, 1.0), 0.0)[..., None]
+        x = bfu_data * norm
+        q = jnp.clip(
+            jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5)).astype(jnp.int32),
+            -rng[..., None], rng[..., None],
+        )
+        step = jnp.where(active, sf32 / jnp.maximum(rng, 1).astype(jnp.float32), 0.0)[..., None]
+        d = jnp.where(_SLOT_MASK_B, bfu_data - q.astype(jnp.float32) * step, 0.0)
+        return jnp.sum(d * d, axis=-1)                           # [F, 52]
+
+    err = jnp.moveaxis(
+        jax.vmap(_err_at)(jnp.arange(16, dtype=sf_idx.dtype)), 0, -1
+    )                                                            # [F, 52, 16]
     if bias != 1.0:
         # reference --bias semantics carried over: weight loud BFUs
         sfv = jnp.einsum(
@@ -142,11 +163,11 @@ def allocate_bits_rdo(bfu_data: jnp.ndarray, sf_idx: jnp.ndarray, allocation_bia
         err = err * sfv[..., None]
 
     # per-bit slopes of the error curve, then the upper concave hull
-    # (backward running max) so earlier steps always price >= later ones
+    # (backward running max, one cummax instead of 14 sequential updates)
+    # so earlier steps always price >= later ones
     per_bit = jnp.asarray(1.0 / (RDO_STEP_BITS * C.SPECS_PER_BFU[:, None]).astype(np.float32))  # [52, 15]
     slopes = (err[..., :-1] - err[..., 1:]) * per_bit[None]      # [F, 52, 15]
-    for i in range(13, -1, -1):
-        slopes = slopes.at[..., i].set(jnp.maximum(slopes[..., i], slopes[..., i + 1]))
+    slopes = lax.cummax(slopes, axis=slopes.ndim - 1, reverse=True)
     prio = slopes.reshape(nframes, _NCAND)
 
     valid = jnp.repeat(sf_idx > 0, 15, axis=1) & (prio > 0)
