@@ -52,7 +52,8 @@ def setup() -> None:
         if not os.environ.get("CARTA1_NO_PREWARM_SEED"):
             seed_prewarm_into(cache)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         # By default JAX points xla_gpu_per_fusion_autotune_cache_dir at a
         # subdirectory of the compilation cache dir — and that PATH is part

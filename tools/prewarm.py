@@ -33,6 +33,10 @@ def _run_dryrun(cache_dir: str, seed: bool) -> None:
     env["CARTA1_JAX_CACHE"] = cache_dir
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env["JAX_PLATFORMS"] = "cpu"
+    # programs near the default 5 s record threshold get cached in one run
+    # and not the next (compile-time jitter), making --check flaky; record
+    # everything >= 1 s so regen and check agree on the program set
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
     if not seed:
         env["CARTA1_NO_PREWARM_SEED"] = "1"
     r = subprocess.run(
