@@ -71,3 +71,57 @@ def test_reference_allocator_mode_matches_sweep():
     # recompute the sweep spec from the same scale factors
     want = allocate_bits_sweep(np.asarray(fd.scale_factors), SPECS_PER_BFU, 1.0)
     assert np.array_equal(np.asarray(fd.word_lengths), want)
+
+
+def test_rdo_vectorized_matches_unrolled_formulation():
+    """The r4 restructure (vmapped wl sweep, cummax hull, hoisted sf
+    lookup) must produce the same word lengths as the original unrolled
+    formulation, element for element — the in-test oracle below IS that
+    original code."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from carta1_tpu import constants as C
+    from carta1_tpu.ops.bitalloc import _NCAND, _SLOT_MASK_B, _sweep, allocate_bits_rdo
+    from carta1_tpu.ops.coding import dequantize, quantize
+    from carta1_tpu.ops.tables import RDO_CAND_BFU, RDO_CAND_COST, RDO_STEP_BITS
+
+    rng = np.random.default_rng(11)
+    nf = 48
+    bfu = (rng.standard_normal((nf, 52, 20)) * 0.3).astype(np.float32)
+    sf = rng.integers(0, 64, (nf, 52)).astype(np.int32)
+
+    wl_new = np.asarray(allocate_bits_rdo(jnp.asarray(bfu), jnp.asarray(sf), 1.0))
+
+    # --- original unrolled formulation (pre-r4), kept verbatim as oracle ---
+    errs = []
+    for wl in range(16):
+        wla = jnp.full_like(jnp.asarray(sf), wl)
+        deq = dequantize(quantize(jnp.asarray(bfu), jnp.asarray(sf), wla), jnp.asarray(sf), wla)
+        d = jnp.where(_SLOT_MASK_B, jnp.asarray(bfu) - deq, 0.0)
+        errs.append(jnp.sum(d * d, axis=-1))
+    err = jnp.stack(errs, axis=-1)
+    per_bit = jnp.asarray(
+        1.0 / (np.asarray(RDO_STEP_BITS) * np.asarray(C.SPECS_PER_BFU)[:, None]).astype(np.float32)
+    )
+    slopes = (err[..., :-1] - err[..., 1:]) * per_bit[None]
+    for i in range(13, -1, -1):
+        slopes = slopes.at[..., i].set(jnp.maximum(slopes[..., i], slopes[..., i + 1]))
+    prio = slopes.reshape(nf, _NCAND)
+    valid = jnp.repeat(jnp.asarray(sf) > 0, 15, axis=1) & (prio > 0)
+    key = jnp.where(
+        valid, -lax.bitcast_convert_type(jnp.maximum(prio, 0.0), jnp.int32), jnp.int32(2**31 - 1)
+    )
+    payload = jnp.broadcast_to(
+        jnp.asarray((np.asarray(RDO_CAND_BFU) << 13) | (np.asarray(RDO_CAND_COST) << 1))[None, :]
+        | valid.astype(jnp.int32),
+        key.shape,
+    )
+    s_key, s_payload = lax.sort((key, payload), dimension=-1, is_stable=True, num_keys=1)
+    s_bfu = (s_payload >> 13) & 0x3F
+    s_valid = (s_payload & 1) == 1
+    s_cost = jnp.where(s_valid, (s_payload >> 1) & 0xFFF, 0)
+    wl_old = np.asarray(_sweep(s_bfu, s_cost, s_valid, jnp.asarray(sf)[:, 0]))
+
+    assert np.array_equal(wl_new, wl_old)
