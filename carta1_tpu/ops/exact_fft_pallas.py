@@ -287,7 +287,10 @@ def _imdct_impl(x: jnp.ndarray, size: int, interpret: bool = False) -> jnp.ndarr
     b = x2.shape[-1]
     # scoped-VMEM budget: the live set is ~64 [half, tile] f32 arrays;
     # half*tile = 32K keeps it ~8 MB, inside the 16 MB scoped limit
-    # (measured: 26.4 MB OOM at half=256 tile=512; 16.07 MB at tile=256)
+    # (measured: 26.4 MB OOM at half=256 tile=512; 16.07 MB at tile=256).
+    # r4 negative result: raising the 64-point transform's tile to 1024
+    # lanes (headroom exists) measured ~10% SLOWER at the imdct substage
+    # — the 512-lane tile stands
     tile = min(32768 // half, 512)
     tile = tile if b >= tile else max(128, -(-b // 128) * 128)
     pad = (-b) % tile
