@@ -72,15 +72,21 @@ def bench_tpu_chains(n1: int, n2: int, frames_per_chunk: int = 8192) -> dict:
 
     from carta1_tpu.jaxtools import hoisted_jit
     from carta1_tpu.ops.bitpack import pack_frames, unpack_frames
-    from carta1_tpu.pipeline.decoder import decode_step, decoder_init_state
+    from carta1_tpu.pipeline.decoder import auto_short_cap, decode_step, decoder_init_state
     from carta1_tpu.pipeline.encoder import encode_step, encoder_init_state
+
+    # block-mode partitioned IMDCT (r5): the in-graph cond stays a real
+    # branch here (transcode_step is jitted, not vmapped), so the bit-exact
+    # contract holds for any input while typical material pays the short
+    # transforms only for <= cap frames
+    short_cap = auto_short_cap(frames_per_chunk)
 
     @functools.partial(hoisted_jit, donate_argnums=(1, 2, 3))
     def transcode_step(pcm, enc_state, dec_state, acc):
         fd, enc_state = encode_step(pcm, enc_state, (1.0, 1.0, 1.0), 1.0)
         units = pack_frames(fd)
         fd2 = unpack_frames(units)
-        out, dec_state = decode_step(fd2, dec_state)
+        out, dec_state = decode_step(fd2, dec_state, short_cap=short_cap)
         acc = acc + jnp.abs(out).sum() + units.astype(jnp.uint32).sum().astype(jnp.float32)
         return acc, enc_state, dec_state
 
@@ -211,6 +217,84 @@ def bench_encode_corpus(nframes: int = 196608) -> dict:
         r = encode_file(wav, out, timings=phases)
         elapsed = time.perf_counter() - t0
         assert r.frames == nframes
+    if phases.get("drain_fetch_s"):
+        # effective end-of-stream download bandwidth vs the ~30-40 MB/s
+        # k-sliced relay plateau (PERF.md "Relay transfer pathology")
+        phases["drain_mbps"] = round(
+            phases.get("drain_bytes", 0) / phases["drain_fetch_s"] / 1e6, 1
+        )
+    accounted = sum(v for k, v in phases.items() if k.endswith("_s"))
+    return {
+        "fps": round(nframes / elapsed, 1),
+        "elapsed_s": round(elapsed, 3),
+        "warm_s": round(warm_s, 3),
+        "first_sync_s": round(first_sync_s, 3),
+        **phases,
+        "other_s": round(elapsed - accounted, 3),
+    }
+
+
+def prep_aea(aea_path: str, nframes: int = 196608) -> None:
+    """Encode the bench signal to an AEA file (decode-bench input prep;
+    runs in its own subprocess so its D2H drain cannot poison the decode
+    process's H2D upload path)."""
+    import os
+    import tempfile
+
+    from carta1_tpu.io.wav import write_wav
+    from carta1_tpu.processor import encode_file
+
+    with tempfile.TemporaryDirectory() as d:
+        wav = os.path.join(d, "bench.wav")
+        write_wav(wav, synth_audio(nframes // 2, channels=2).reshape(2, -1))
+        r = encode_file(wav, aea_path)
+        assert r.frames == nframes
+
+
+def bench_decode_corpus(aea_path: str) -> dict:
+    """Streaming corpus decode, AEA -> WAV, one chip (VERDICT r4 item 7:
+    the decoder is the expensive direction and had no end-to-end
+    file-level number).  Same honest-timing protocol and phase
+    attribution as bench_encode_corpus; the dominant cost on this relay
+    is the int16 PCM download (1024 B/frame/ch vs 212 B encoded)."""
+    import os
+    import tempfile
+
+    import jax
+
+    from carta1_tpu.framedata import FrameData
+    from carta1_tpu.io.bitstream_np import pack_frames_fast
+    from carta1_tpu.processor import DEFAULT_CHUNK_FRAMES, _decode_batch_dev, decode_file
+
+    nframes = (os.path.getsize(aea_path) - 2048) // 212
+    # warm = compile + the process's first host sync, untimed (see
+    # bench_encode_corpus): silent-unit chunks compile the same program
+    # (incl. both branches of the block-mode partition cond)
+    zero_units = np.broadcast_to(
+        pack_frames_fast(FrameData.zeros(1)), (DEFAULT_CHUNK_FRAMES, 212)
+    )
+    t0 = time.perf_counter()
+    pcm_dev, warm_state = _decode_batch_dev([zero_units, zero_units], None, to_i16=True)
+    jax.block_until_ready((pcm_dev, warm_state))
+    warm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    first_sync = np.asarray(warm_state[0]["synth_low_delay"] if isinstance(warm_state, list)
+                            else warm_state["synth_low_delay"])
+    assert np.isfinite(first_sync).all()
+    first_sync_s = time.perf_counter() - t0
+    del pcm_dev, warm_state
+
+    phases: dict = {}
+    with tempfile.TemporaryDirectory() as d:
+        out_wav = os.path.join(d, "bench_out.wav")
+        t0 = time.perf_counter()
+        r = decode_file(aea_path, out_wav, timings=phases)
+        elapsed = time.perf_counter() - t0
+        assert r.frames == nframes
+    if phases.get("drain_fetch_s"):
+        phases["drain_mbps"] = round(
+            phases.get("drain_bytes", 0) / phases["drain_fetch_s"] / 1e6, 1
+        )
     accounted = sum(v for k, v in phases.items() if k.endswith("_s"))
     return {
         "fps": round(nframes / elapsed, 1),
@@ -235,6 +319,24 @@ def bench_gold_encode_baseline(nframes: int = 512) -> float:
     t0 = time.perf_counter()
     fd, _ = gold_encode_frames(pcm)
     pack_frames_fast(fd)
+    elapsed = time.perf_counter() - t0
+    return nframes / elapsed
+
+
+def bench_gold_decode_baseline(nframes: int = 512) -> float:
+    """Single-core reference-algorithm decode-only (incl. unpack) frames/s."""
+    import os
+
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    from carta1_tpu.gold import gold_decode_frames, gold_encode_frames
+    from carta1_tpu.io.bitstream_np import pack_frames_fast, unpack_frames_fast
+
+    pcm = synth_audio(nframes, channels=1)[0].reshape(nframes, 512)
+    fd, _ = gold_encode_frames(pcm)
+    units = pack_frames_fast(fd)
+    gold_decode_frames(unpack_frames_fast(units[:8]))  # warm caches
+    t0 = time.perf_counter()
+    gold_decode_frames(unpack_frames_fast(units))
     elapsed = time.perf_counter() - t0
     return nframes / elapsed
 
@@ -288,6 +390,36 @@ def _corpus_fps_subprocess() -> dict:
         return {"fps": 0.0, "error": type(e).__name__}
 
 
+def _decode_corpus_subprocess() -> dict:
+    """bench_decode_corpus with a two-process protocol: one process
+    encodes the input AEA (its end-of-stream D2H would poison the H2D
+    path), a FRESH process times the decode with clean uploads."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    me = os.path.abspath(__file__)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            aea = os.path.join(d, "bench.aea")
+            prep = subprocess.run(
+                [sys.executable, me, "--prep-aea", aea],
+                capture_output=True, text=True, timeout=1800, cwd=os.path.dirname(me),
+            )
+            if prep.returncode != 0:
+                return {"fps": 0.0, "error": f"prep rc={prep.returncode}"}
+            r = subprocess.run(
+                [sys.executable, me, "--decode-corpus-only", aea],
+                capture_output=True, text=True, timeout=1800, cwd=os.path.dirname(me),
+            )
+            if r.returncode != 0:
+                return {"fps": 0.0, "error": f"rc={r.returncode}"}
+            return json.loads(r.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, ValueError, IndexError) as e:
+        return {"fps": 0.0, "error": type(e).__name__}
+
+
 def main() -> None:
     # Order matters on the relay runtime: the corpus bench needs the fast
     # H2D path, which the first D2H copy in the process destroys — so it
@@ -296,10 +428,15 @@ def main() -> None:
     # immune to the poisoned state it then runs under.
     corpus = max((_corpus_fps_subprocess() for _ in range(2)), key=lambda d: d.get("fps", 0.0))
     encode_fps = corpus.get("fps", 0.0)
+    dec_corpus = max(
+        (_decode_corpus_subprocess() for _ in range(2)), key=lambda d: d.get("fps", 0.0)
+    )
+    decode_fps = dec_corpus.get("fps", 0.0)
     tpu_fps, tpu_detail = bench_tpu()
     # single-core baselines are host-only; best-of-3 to shed machine noise
     gold_fps = max(bench_gold_baseline() for _ in range(3))
     gold_encode_fps = max(bench_gold_encode_baseline() for _ in range(3))
+    gold_decode_fps = max(bench_gold_decode_baseline() for _ in range(3))
     target = 100.0 * gold_fps
     print(
         json.dumps(
@@ -318,6 +455,13 @@ def main() -> None:
                 # wall-clock attribution of the corpus run (best of 2):
                 # every second accounted, no opaque number (VERDICT r3)
                 "encode_corpus_phases": corpus,
+                # decode direction, AEA file -> WAV file incl. host IO
+                # (VERDICT r4 item 7), vs 100x the single-core gold decoder
+                "decode_corpus_fps": round(decode_fps, 1),
+                "decode_corpus_vs_baseline": round(
+                    decode_fps / (100.0 * gold_decode_fps), 3
+                ),
+                "decode_corpus_phases": dec_corpus,
                 # chain timings behind `value` (internal consistency check)
                 "transcode_chains": tpu_detail,
             }
@@ -331,6 +475,10 @@ if __name__ == "__main__":
 
     if "--corpus-only" in sys.argv:
         print(json.dumps(bench_encode_corpus()))
+    elif "--prep-aea" in sys.argv:
+        prep_aea(sys.argv[sys.argv.index("--prep-aea") + 1])
+    elif "--decode-corpus-only" in sys.argv:
+        print(json.dumps(bench_decode_corpus(sys.argv[sys.argv.index("--decode-corpus-only") + 1])))
     elif "--tpu-chains" in sys.argv:
         i = sys.argv.index("--tpu-chains")
         print(json.dumps(bench_tpu_chains(int(sys.argv[i + 1]), int(sys.argv[i + 2]))))

@@ -34,7 +34,22 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-ARTIFACT = os.path.join(REPO, "SCALING_r04.json")
+ARTIFACT = os.path.join(REPO, "SCALING_r05.json")
+
+# Written into the artifact so it is readable standalone (VERDICT r4
+# item 3): the virtual-CPU rows are a collective-path CORRECTNESS signal.
+NOTE = (
+    "Virtual-CPU mesh rows: all N 'devices' share the same physical cores, so "
+    "per-device scaling_efficiency is EXPECTED to be ~1/N — it is not a failed "
+    "gate.  The actual signal is (a) the sharded program compiles and runs the "
+    "collective path at every mesh size, and (b) total_fps stays roughly flat "
+    "as shards multiply (no super-linear collective overhead).  Each CPU row "
+    "is best-of-2 subprocess runs, with both raw runs recorded, because "
+    "XLA:CPU throughput jitters run-to-run (the r4 n=8 total-fps dip was a "
+    "single unrepeated sample).  Real ICI efficiency "
+    "(BASELINE '>=85% at 2 hosts') is unmeasurable on this single-chip host "
+    "by construction; the real chip appears as the n=1 default-platform row."
+)
 
 
 def chain_seconds(n_devices: int, n1: int, n2: int, frames_per_device: int) -> dict:
@@ -143,27 +158,37 @@ def main() -> None:
         return
 
     results = []
-    # virtual CPU mesh: collective-path scaling signal
+    # virtual CPU mesh: collective-path correctness signal (see NOTE);
+    # best-of-2 per mesh size with both raw samples recorded
     cpu_base = None
     for n in (1, 2, 4, 8):
-        r = measure(n, "cpu", a.frames_per_device, a.n1, a.n2)
-        if r is None:
+        runs = [measure(n, "cpu", a.frames_per_device, a.n1, a.n2) for _ in range(2)]
+        runs = [x for x in runs if x is not None]
+        if not runs:
             continue
-        if cpu_base is None:
+        r = max(runs, key=lambda x: x["frames_per_s"])
+        r["total_fps_runs"] = [x["frames_per_s"] for x in runs]
+        r["total_fps"] = r["frames_per_s"]
+        # efficiency only against a real 1-device base (ADVICE r4: a missing
+        # n=1 run must not silently rebase every later row)
+        if n == 1 and cpu_base is None:
             cpu_base = r["frames_per_s"]
-        r["scaling_efficiency"] = round(r["frames_per_s"] / (cpu_base * n), 3)
+        if cpu_base is not None:
+            r["scaling_efficiency"] = round(r["frames_per_s"] / (cpu_base * n), 3)
+            r["expected_efficiency_virtual"] = round(1.0 / n, 3)
         results.append(r)
         print(json.dumps(r), flush=True)
     # the real chip at n=1 (the only real device count on this host)
     r = measure(1, None, a.frames_per_device, a.n1, a.n2)
     if r is not None:
         r["scaling_efficiency"] = 1.0
+        r["total_fps"] = r["frames_per_s"]
         results.append(r)
         print(json.dumps(r), flush=True)
 
     with open(ARTIFACT, "w") as f:
-        json.dump({"frames_per_device": a.frames_per_device, "n1": a.n1, "n2": a.n2,
-                   "results": results}, f, indent=1)
+        json.dump({"note": NOTE, "frames_per_device": a.frames_per_device,
+                   "n1": a.n1, "n2": a.n2, "results": results}, f, indent=1)
 
 
 if __name__ == "__main__":

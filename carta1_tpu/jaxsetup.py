@@ -9,7 +9,7 @@ CLI, parallel drivers) before the first backend use.  Two concerns:
    overridable with CARTA1_JAX_CACHE, default ~/.cache/carta1_tpu/jax.
    The repo-local `.jax_prewarm/` directory (committed; holds the compiled
    programs for the driver's multichip-dryrun shapes) is a READ-ONLY SEED:
-   its entries are hardlinked/copied into the live cache at setup, and the
+   its entries are copied into the live cache at setup, and the
    runtime never writes into it — so benches/tests cannot dirty the repo
    (VERDICT r3 item 5; regenerate/verify it with tools/prewarm.py).
 
@@ -67,7 +67,7 @@ def setup() -> None:
 
 
 def seed_prewarm_into(cache: str) -> int:
-    """Hardlink (or copy) committed `.jax_prewarm/` entries into `cache`.
+    """Copy committed `.jax_prewarm/` entries into `cache`.
 
     Returns the number of entries newly seeded.  The prewarm dir is never
     written to — it only feeds fresh machines the multi-minute dryrun
@@ -77,19 +77,21 @@ def seed_prewarm_into(cache: str) -> int:
     )
     if not os.path.isdir(prewarm) or os.path.realpath(prewarm) == os.path.realpath(cache):
         return 0
+    import shutil
+
     seeded = 0
     for name in os.listdir(prewarm):
         src, dst = os.path.join(prewarm, name), os.path.join(cache, name)
         if os.path.exists(dst) or not os.path.isfile(src):
             continue
+        # copy, not hardlink: a shared inode would make the "runtime never
+        # writes the seed" guarantee depend on JAX never mutating a cache
+        # entry in place (today it writes tmp+rename, but that is an
+        # external invariant we refuse to lean on; entries are a few MB,
+        # seeded once per machine — ADVICE r4)
         try:
-            os.link(src, dst)
+            shutil.copy2(src, dst)
         except OSError:
-            import shutil
-
-            try:
-                shutil.copy2(src, dst)
-            except OSError:
-                continue
+            continue
         seeded += 1
     return seeded

@@ -97,6 +97,55 @@ def fetch(x, k: int = 8) -> np.ndarray:
     return np.concatenate([np.asarray(p) for p in parts]).reshape(x.shape)
 
 
+def _start_copy(x, k: int):
+    """Begin an async D2H of x (k-sliced when large); returns a handle."""
+    if not isinstance(x, jax.Array):
+        return ("host", x)
+    if x.nbytes < (1 << 20) or k <= 1:
+        x.copy_to_host_async()
+        return ("whole", x)
+    parts = _flat_split(k)(x)
+    for p in parts:
+        p.copy_to_host_async()
+    return ("parts", parts, x.shape)
+
+
+def _finish_copy(handle) -> np.ndarray:
+    if handle[0] == "parts":
+        return np.concatenate([np.asarray(p) for p in handle[1]]).reshape(handle[2])
+    return np.asarray(handle[1])
+
+
+def fetch_many(arrays, k: int = 8, ahead: int | None = None):
+    """Ordered D2H of a sequence of device arrays, pipelined ACROSS arrays.
+
+    ``fetch`` overlaps the k slice copies within one buffer, but a loop of
+    fetch() calls still serializes across buffers: buffer i+1's transfer
+    cannot start until buffer i is fully on host AND the caller's
+    host-side work on it is done.  The r4 corpus drain paid exactly that
+    (measured ~7.4 MB/s against the ~30-40 MB/s k-sliced relay plateau,
+    VERDICT r4 item 2).  This generator keeps the NEXT `ahead` buffers'
+    slice copies in flight while the current one is materialized and
+    consumed, so the relay pipe stays busy through host-side writes.
+
+    `ahead` defaults to CARTA1_DRAIN_AHEAD or 1 (k in-flight slices from
+    the next buffer on top of the current one's tail — more outstanding
+    slices measured counterproductive on this relay, PERF.md "Relay
+    transfer pathology").  Yields numpy arrays in input order."""
+    if ahead is None:
+        import os
+
+        ahead = int(os.environ.get("CARTA1_DRAIN_AHEAD", "1"))
+    arrays = list(arrays)
+    n = len(arrays)
+    handles: dict[int, tuple] = {}
+    for i in range(n):
+        for j in range(i, min(n, i + ahead + 1)):
+            if j not in handles:
+                handles[j] = _start_copy(arrays[j], k)
+        yield _finish_copy(handles.pop(i))
+
+
 def zeros_like_tree(tree):
     """Host (numpy) zero pytree with the template's shapes/dtypes.
 

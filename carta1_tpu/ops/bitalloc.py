@@ -120,8 +120,6 @@ def allocate_bits_rdo(bfu_data: jnp.ndarray, sf_idx: jnp.ndarray, allocation_bia
     """
     import numpy as np
 
-    from carta1_tpu.ops.coding import dequantize, quantize
-
     nframes = sf_idx.shape[0]
     bias = float(allocation_bias)
 

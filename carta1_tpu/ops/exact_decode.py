@@ -528,8 +528,82 @@ def qmf_synthesis_exact(low: jnp.ndarray, high: jnp.ndarray, delay: jnp.ndarray)
 # ---------------------------------------------------------------------------
 # Per-band IMDCT + overlap assembly (decoder.js:116-330)
 # ---------------------------------------------------------------------------
+def _short_path_full(bands: list, nframes: int) -> list:
+    """Short-block IMDCTs for EVERY frame: 4 + 4 + 8 imdct64 blocks, one
+    batched instance (compute-both+select's short half)."""
+    blocks = jnp.concatenate(
+        [
+            bands[0].reshape(nframes, 4, 32),
+            jnp.flip(bands[1].reshape(nframes, 4, 32), axis=-1),
+            jnp.flip(bands[2].reshape(nframes, 8, 32), axis=-1),
+        ],
+        axis=1,
+    )                                                            # [F, 16, 32]
+    inv64 = imdct_exact(blocks, 64)[:, :, 16:48]                 # [F, 16, 32]
+    return [
+        inv64[:, 0:4].reshape(nframes, 128),
+        inv64[:, 4:8].reshape(nframes, 128),
+        inv64[:, 8:16].reshape(nframes, 256),
+    ]
+
+
+def _short_path_partitioned(
+    bands: list, is_short: jnp.ndarray, nframes: int, cap: int
+) -> list:
+    """Short-block IMDCTs for only the (<= cap) short-mode frames per band.
+
+    In real material short (transient) frames are a small minority, yet
+    compute-both+select pays all 16 imdct64 transforms for every frame —
+    measured ~38% of the IMDCT stage (PROFILE_r04).  Here each band's
+    short frames are compacted into a fixed [cap] bucket, transformed, and
+    scattered back to frame order, so the per-frame short cost drops by
+    ~F/cap.  Long/decode semantics are untouched: the reference's own
+    long/short dispatch is decoder.js:175-306.
+
+    Compaction is rank-based one-hot matmuls, NOT dynamic gathers (which
+    this runtime punishes globally, PERF.md "Gather poisoning"): frame f
+    with rank r = cumsum(is_short)-1 contributes S[r, f] = 1; rows beyond
+    the band's short count are all-zero, transform zeros, and scatter
+    nothing.  Selection matmuls are 0/1 at HIGHEST precision — exact
+    (ops/common.FP note) — and the expansion arithmetic is elementwise
+    with fixed accumulation order, so batch compaction cannot change any
+    stored bit.
+
+    CONTRACT: every band's short count must be <= cap; frames whose rank
+    overflows cap would silently decode as zeros.  Callers either check
+    counts on the host or wrap this in the lax.cond in imdct_bands_exact."""
+    lanes = jnp.arange(cap, dtype=jnp.int32)[:, None]            # [cap, 1]
+    sel = []
+    for b in range(3):
+        flag = is_short[:, b]
+        rank = jnp.cumsum(flag.astype(jnp.int32)) - 1            # [F]
+        sel.append(((rank[None, :] == lanes) & flag[None, :]).astype(jnp.float32))
+    g0 = fmatmul(sel[0], bands[0])                               # [cap, 128]
+    g1 = fmatmul(sel[1], bands[1])                               # [cap, 128]
+    g2 = fmatmul(sel[2], bands[2])                               # [cap, 256]
+    blocks = jnp.concatenate(
+        [
+            g0.reshape(cap, 4, 32),
+            jnp.flip(g1.reshape(cap, 4, 32), axis=-1),
+            jnp.flip(g2.reshape(cap, 8, 32), axis=-1),
+        ],
+        axis=1,
+    )                                                            # [cap, 16, 32]
+    inv64 = imdct_exact(blocks, 64)[:, :, 16:48]                 # [cap, 16, 32]
+    parts = [
+        inv64[:, 0:4].reshape(cap, 128),
+        inv64[:, 4:8].reshape(cap, 128),
+        inv64[:, 8:16].reshape(cap, 256),
+    ]
+    return [fmatmul(sel[b].T, parts[b]) for b in range(3)]       # [F, size_b]
+
+
 def imdct_bands_exact(
-    coeffs: jnp.ndarray, modes: jnp.ndarray, tail_states: tuple
+    coeffs: jnp.ndarray,
+    modes: jnp.ndarray,
+    tail_states: tuple,
+    short_cap: int | None = None,
+    assume_fits: bool = False,
 ) -> tuple[list, list]:
     """All three bands' IMDCT + overlap assembly, one batched graph.
 
@@ -545,7 +619,16 @@ def imdct_bands_exact(
     [F, 19, 16] call.  Expansion arithmetic is elementwise with a fixed
     accumulation order, so batching cannot change any stored bit — and it
     halves both XLA:CPU compile time and the number of fusion boundaries
-    (HBM round-trips) on device."""
+    (HBM round-trips) on device.
+
+    `short_cap` (static) partitions the short path by block mode: only a
+    [cap]-frame bucket pays the 16 imdct64 transforms instead of all F
+    frames (_short_path_partitioned).  None = compute-both+select.  With
+    `assume_fits=False` an in-graph lax.cond falls back to the full short
+    path whenever any band's short count exceeds cap, so the output is
+    bit-identical for EVERY input; `assume_fits=True` skips the cond (for
+    callers under vmap, where cond degenerates to both-branches-executed)
+    and requires the caller to have verified the counts."""
     nframes = coeffs.shape[0]
     t = C.MDCT_TAIL_WINDOW_SIZE
     sizes = C.MDCT_BAND_SIZES  # (128, 128, 256)
@@ -559,21 +642,21 @@ def imdct_bands_exact(
     inv2 = imdct_exact(spec2, 512)                               # [F, 512]
     inv_long = [inv01[0][:, 64:192], inv01[1][:, 64:192], inv2[:, 128:384]]
 
-    # short path: 4 + 4 + 8 imdct64 blocks, one batched instance
-    blocks = jnp.concatenate(
-        [
-            bands[0].reshape(nframes, 4, 32),
-            jnp.flip(bands[1].reshape(nframes, 4, 32), axis=-1),
-            jnp.flip(bands[2].reshape(nframes, 8, 32), axis=-1),
-        ],
-        axis=1,
-    )                                                            # [F, 16, 32]
-    inv64 = imdct_exact(blocks, 64)[:, :, 16:48]                 # [F, 16, 32]
-    inv_short = [
-        inv64[:, 0:4].reshape(nframes, 128),
-        inv64[:, 4:8].reshape(nframes, 128),
-        inv64[:, 8:16].reshape(nframes, 256),
-    ]
+    if short_cap is None or short_cap >= nframes:
+        inv_short = _short_path_full(bands, nframes)
+    else:
+        is_short = modes != 0                                    # [F, 3]
+        if assume_fits:
+            inv_short = _short_path_partitioned(bands, is_short, nframes, short_cap)
+        else:
+            overflow = jnp.any(
+                jnp.sum(is_short, axis=0, dtype=jnp.int32) > short_cap
+            )
+            inv_short = jax.lax.cond(
+                overflow,
+                lambda: _short_path_full(bands, nframes),
+                lambda: _short_path_partitioned(bands, is_short, nframes, short_cap),
+            )
 
     inv_bufs, tails, prev_tails = [], [], []
     for b in range(3):

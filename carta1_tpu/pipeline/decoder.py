@@ -16,6 +16,8 @@ Reference pipeline: codec/pipeline/decoder.js:408-411.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,16 +42,30 @@ def decoder_init_state() -> dict[str, jnp.ndarray]:
     }
 
 
-def decode_step(fd: FrameData, state: dict) -> tuple[jnp.ndarray, dict]:
+def decode_step(
+    fd: FrameData,
+    state: dict,
+    short_cap: int | None = None,
+    assume_fits: bool = False,
+) -> tuple[jnp.ndarray, dict]:
     """Bit-exact batched decode: FrameData -> (pcm [F, 512], state).
 
     Every arithmetic step reproduces gold/decoder.py (and therefore the
-    reference JavaScript) at the stored-bit level; see ops/exact_decode."""
+    reference JavaScript) at the stored-bit level; see ops/exact_decode.
+
+    `short_cap` (static) enables block-mode partitioning of the IMDCT
+    stage: only a [cap]-frame compacted bucket pays the short-block
+    transforms (the reference's own long/short dispatch,
+    decoder.js:175-306).  Bit-identical output for every input — with
+    assume_fits=False an in-graph cond falls back to compute-both when a
+    band's short count exceeds cap; assume_fits=True is for callers that
+    hoist that check above a vmap (see ops/exact_decode.imdct_bands_exact)."""
     deq = X.dequantize_exact(fd.quantized, fd.scale_factors, fd.word_lengths)
     coeffs = scatter_bfus(deq, fd.block_modes, fd.n_bfu)  # [F, 512]
 
     outs, new_tails = X.imdct_bands_exact(
-        coeffs, fd.block_modes, (state["tail0"], state["tail1"], state["tail2"])
+        coeffs, fd.block_modes, (state["tail0"], state["tail1"], state["tail2"]),
+        short_cap=short_cap, assume_fits=assume_fits,
     )
 
     high_delayed, high_d = delay_stream(outs[2], state["synth_high_delay"])
@@ -99,8 +115,25 @@ def decode_step_fast(fd: FrameData, state: dict) -> tuple[jnp.ndarray, dict]:
     return pcm, new_state
 
 
-_decode_jit = jax.jit(decode_step)
+_decode_jit = jax.jit(decode_step, static_argnames=("short_cap", "assume_fits"))
 _decode_fast_jit = jax.jit(decode_step_fast)
+
+
+def auto_short_cap(nframes: int) -> int | None:
+    """Default block-mode partition capacity for an F-frame decode batch.
+
+    F/8 (rounded up to a 128-lane tile), i.e. the partitioned path assumes
+    <= 12.5% transient frames per band and falls back in-graph above that.
+    Small batches keep compute-both — the bucket matmuls wouldn't pay for
+    themselves, and tests with tiny F should exercise the default path.
+    CARTA1_SHORT_CAP=0 disables partitioning; =N forces a capacity."""
+    env = os.environ.get("CARTA1_SHORT_CAP")
+    if env is not None:
+        n = int(env)
+        return None if n <= 0 else min(n, nframes)
+    if nframes < 2048:
+        return None
+    return min(nframes, -(-(nframes // 8) // 128) * 128)
 
 
 def decode_frames(fd: FrameData, state: dict | None = None, fast: bool = False) -> tuple[jnp.ndarray, dict]:
@@ -114,4 +147,6 @@ def decode_frames(fd: FrameData, state: dict | None = None, fast: bool = False) 
         word_lengths=jnp.asarray(np.asarray(fd.word_lengths, dtype=np.int32)),
         quantized=jnp.asarray(np.asarray(fd.quantized, dtype=np.int32)),
     )
-    return (_decode_fast_jit if fast else _decode_jit)(fd, state)
+    if fast:
+        return _decode_fast_jit(fd, state)
+    return _decode_jit(fd, state, short_cap=auto_short_cap(int(fd.block_modes.shape[0])))

@@ -73,26 +73,60 @@ def _encode_vmap_jit(thresholds, allocation_bias, allocator, from_i16=False):
 
 
 @functools.lru_cache(maxsize=None)
-def _decode_vmap_jit(to_i16=False):
+def _decode_vmap_jit(to_i16=False, short_cap=None):
     """hoisted_jit(vmap(in-graph unpack + decode_step)) (see _encode_vmap_jit).
 
     to_i16 applies the reference's f32->int16 WAV conversion ON DEVICE
     (ops/pcm.float_to_int16, bitwise equal to the host conversion) so the
-    decoded stream crosses the relay at 2 bytes/sample."""
+    decoded stream crosses the relay at 2 bytes/sample.
+
+    short_cap enables block-mode partitioning of the IMDCT stage
+    (ops/exact_decode._short_path_partitioned).  Under vmap lax.cond
+    degenerates to both-branches-executed, so the fits-in-cap check is
+    hoisted HERE, above the channel vmap: block modes are read straight
+    from each unit's 16-bit header (serialization.js:46-53 — the same
+    bits ops/bitpack.unpack_frames decodes) and one cond picks the
+    partitioned or the compute-both graph for the whole chunk."""
     import jax
+    import jax.numpy as jnp
 
     from carta1_tpu.jaxtools import hoisted_jit
     from carta1_tpu.ops.bitpack import unpack_frames as unpack_device
     from carta1_tpu.ops.pcm import float_to_int16
     from carta1_tpu.pipeline.decoder import decode_step
 
-    def one(units, s):
-        pcm, s2 = decode_step(unpack_device(units), s)
-        if to_i16:
-            pcm = float_to_int16(pcm)
-        return pcm, s2
+    def one(cap):
+        def f(units, s):
+            pcm, s2 = decode_step(
+                unpack_device(units), s, short_cap=cap, assume_fits=cap is not None
+            )
+            if to_i16:
+                pcm = float_to_int16(pcm)
+            return pcm, s2
 
-    return hoisted_jit(jax.vmap(one))
+        return jax.vmap(f)
+
+    if short_cap is None:
+        return hoisted_jit(one(None))
+
+    part, full = one(short_cap), one(None)
+
+    def dispatch(units, s):
+        # units [C, F, 212]: header halfword = (b0 << 8) | b1; a band is
+        # short-mode when its stored 2-bit field != the long-mode value
+        h = (units[..., 0].astype(jnp.int32) << 8) | units[..., 1].astype(jnp.int32)
+        is_short = jnp.stack(
+            [
+                (2 - ((h >> 14) & 3)) != 0,
+                (2 - ((h >> 12) & 3)) != 0,
+                (3 - ((h >> 10) & 3)) != 0,
+            ],
+            axis=-1,
+        )                                                # [C, F, 3]
+        counts = jnp.sum(is_short, axis=1, dtype=jnp.int32)  # [C, 3]
+        return jax.lax.cond(jnp.any(counts > short_cap), full, part, units, s)
+
+    return hoisted_jit(dispatch)
 
 
 def _broadcast_state_np(template, nch: int):
@@ -180,13 +214,13 @@ def _decode_batch_dev(chans: list[np.ndarray], state, to_i16: bool = False):
 
     to_i16 emits int16 samples (in-graph reference WAV conversion,
     bitwise equal to the host path) — half the download bytes."""
-    from carta1_tpu.pipeline.decoder import decoder_init_state
+    from carta1_tpu.pipeline.decoder import auto_short_cap, decoder_init_state
 
     nch = len(chans)
     if state is None:
         state = _broadcast_state_np(decoder_init_state(), nch)
     stacked = np.ascontiguousarray(np.stack(chans), dtype=np.uint8)
-    return _decode_vmap_jit(to_i16)(stacked, state)
+    return _decode_vmap_jit(to_i16, auto_short_cap(stacked.shape[1]))(stacked, state)
 
 
 def encode_pcm(
@@ -454,16 +488,23 @@ def encode_file(
     spool: list[tuple[object, int]] = []  # (device units [C, n_chunk, 212], n_real)
     spool_bytes = 0
     spool_limit = int(os.environ.get("CARTA1_SPOOL_LIMIT_BYTES", 2 << 30))
-    ph = {"read_s": 0.0, "dispatch_s": 0.0, "drain_fetch_s": 0.0, "write_s": 0.0, "n_drains": 0}
+    ph = {"read_s": 0.0, "dispatch_s": 0.0, "drain_fetch_s": 0.0, "write_s": 0.0,
+          "n_drains": 0, "drain_bytes": 0}
 
     def _drain() -> None:
         nonlocal spool_bytes
-        from carta1_tpu.jaxtools import fetch
+        from carta1_tpu.jaxtools import fetch_many
 
-        for units_dev, n_real in spool:
+        # pipelined drain (r5): the next chunk's slice copies stream over
+        # the relay while this chunk is assembled and written — a plain
+        # fetch() loop serialized chunk transfers behind host writes and
+        # ran ~4-5x under the k-sliced plateau (VERDICT r4 item 2)
+        fetched = fetch_many([units_dev for units_dev, _ in spool])
+        for _, n_real in spool:
             t = _time.perf_counter()
-            u = fetch(units_dev)
+            u = next(fetched)
             ph["drain_fetch_s"] += _time.perf_counter() - t
+            ph["drain_bytes"] += u.nbytes
             per_ch = [u[ch, :n_real] for ch in range(nch)]
             t = _time.perf_counter()
             writer.append(per_ch[0] if nch == 1 else aea.interleave_stereo(per_ch[0], per_ch[1]))
@@ -536,8 +577,11 @@ def decode_file(
     checkpoint: str | None = None,
     checkpoint_every: int = 4,
     mesh=None,
+    timings: dict | None = None,
 ) -> TranscodeResult:
-    """Bounded-memory streaming decode (mirror of encode_file)."""
+    """Bounded-memory streaming decode (mirror of encode_file, including
+    the per-phase wall-clock attribution via `timings`)."""
+    import time as _time
     from carta1_tpu.io.streams import AeaStreamReader, StreamCheckpoint, WavStreamWriter
 
     reader = AeaStreamReader(input_aea)
@@ -574,14 +618,26 @@ def decode_file(
     spool: list[tuple[object, int]] = []  # (device int16 [C, n_chunk, 512], n_real)
     spool_bytes = 0
     spool_limit = int(os.environ.get("CARTA1_SPOOL_LIMIT_BYTES", 2 << 30))
+    ph = {"read_s": 0.0, "dispatch_s": 0.0, "drain_fetch_s": 0.0, "write_s": 0.0,
+          "n_drains": 0, "drain_bytes": 0}
 
     def _drain() -> None:
         nonlocal spool_bytes
-        from carta1_tpu.jaxtools import fetch
+        from carta1_tpu.jaxtools import fetch_many
 
-        for pcm_dev, n_real in spool:
-            pcm = fetch(pcm_dev)
+        # pipelined drain (see encode_file._drain): next chunk's slices
+        # stream while this chunk is written
+        fetched = fetch_many([pcm_dev for pcm_dev, _ in spool])
+        for _, n_real in spool:
+            t = _time.perf_counter()
+            pcm = next(fetched)
+            ph["drain_fetch_s"] += _time.perf_counter() - t
+            ph["drain_bytes"] += pcm.nbytes
+            t = _time.perf_counter()
             writer.append_i16(pcm[:, :n_real].reshape(nch, -1))
+            ph["write_s"] += _time.perf_counter() - t
+        if spool:
+            ph["n_drains"] += 1
         spool.clear()
         spool_bytes = 0
 
@@ -590,6 +646,7 @@ def decode_file(
     zero_unit = pack_frames(FrameData.zeros(1))
     for cs in range(start, frames_per_ch, chunk_frames):
         n = min(chunk_frames, frames_per_ch - cs)
+        t = _time.perf_counter()
         if nch == 1:
             chans = [reader.read_units(cs, n)]
         else:
@@ -602,8 +659,11 @@ def decode_file(
         if n < chunk_frames:
             pad = np.broadcast_to(zero_unit, (chunk_frames - n, C.SOUND_UNIT_SIZE))
             chans = [np.concatenate([ch, pad]) for ch in chans]
+        ph["read_s"] += _time.perf_counter() - t
         if use_dev_spool:
+            t = _time.perf_counter()
             pcm_dev, state = _decode_batch_dev(chans, state, to_i16=True)
+            ph["dispatch_s"] += _time.perf_counter() - t
             spool.append((pcm_dev, n))
             spool_bytes += nch * chunk_frames * C.SAMPLES_PER_FRAME * 2
             if spool_bytes >= spool_limit:
@@ -622,6 +682,8 @@ def decode_file(
         if on_progress:
             on_progress(cs + n, frames_per_ch)
     _drain()
+    if timings is not None:
+        timings.update({k: (round(v, 4) if isinstance(v, float) else v) for k, v in ph.items()})
     samples = frames_per_ch * C.SAMPLES_PER_FRAME
     writer.close()
     if ckpt is not None:

@@ -124,6 +124,90 @@ def test_decode_frames_bitwise_random_stream_chunked():
 
 
 # ---------------------------------------------------------------------------
+# Block-mode partitioned IMDCT (r5): with any short_cap, decode output and
+# stream state must be bitwise identical to the compute-both default —
+# including the in-graph overflow fallback and the vmap-safe assume_fits
+# variant (ops/exact_decode._short_path_partitioned).
+# ---------------------------------------------------------------------------
+def _mixed_mode_fd(nframes=120):
+    """FrameData with a healthy mix of long and short frames per band."""
+    n = nframes * 512
+    sig = 0.15 * sine(440, length=n)
+    for pos in range(4096, n - 2048, 7 * 512):  # hard wideband bursts
+        sig[pos:pos + 256] += 0.7 * white_noise(pos, 256)
+    sig = np.clip(sig, -1, 1).astype(np.float32)
+    fd, _ = gold_encode_frames(sig.reshape(nframes, 512))
+    counts = (np.asarray(fd.block_modes) != 0).sum(axis=0)
+    assert counts.max() >= 4 and counts.min() < nframes  # mixed, not degenerate
+    return fd, counts
+
+
+def _decode_with_cap(fd, cap, assume_fits=False):
+    from carta1_tpu.pipeline.decoder import decode_step, decoder_init_state
+
+    fn = jax.jit(decode_step, static_argnames=("short_cap", "assume_fits"))
+    return fn(fd.to_numpy(), decoder_init_state(), short_cap=cap, assume_fits=assume_fits)
+
+
+def _assert_same_decode(fd, cap, assume_fits=False):
+    want_pcm, want_st = _decode_with_cap(fd, None)
+    got_pcm, got_st = _decode_with_cap(fd, cap, assume_fits)
+    assert _bits_equal(got_pcm, want_pcm)
+    for k in want_st:
+        assert _bits_equal(got_st[k], want_st[k]), k
+
+
+def test_decode_partitioned_bitwise_fits():
+    fd, counts = _mixed_mode_fd()
+    cap = int(counts.max()) + 3
+    _assert_same_decode(fd, cap)
+    _assert_same_decode(fd, cap, assume_fits=True)
+
+
+def test_decode_partitioned_overflow_falls_back():
+    """cap below the true short count: the in-graph cond must take the
+    compute-both branch and still produce bit-identical output."""
+    fd, counts = _mixed_mode_fd()
+    assert counts.max() >= 2
+    _assert_same_decode(fd, int(counts.max()) - 1)
+
+
+def test_decode_partitioned_mode_extremes():
+    """All-long and all-short batches through the partitioned path."""
+    fd, _ = _mixed_mode_fd(nframes=48)
+    for mode_row in ([0, 0, 0], [2, 2, 3]):
+        forced = FrameData(
+            n_bfu=np.asarray(fd.n_bfu),
+            block_modes=np.tile(np.array(mode_row, np.int32), (fd.num_frames, 1)),
+            scale_factors=np.asarray(fd.scale_factors),
+            word_lengths=np.asarray(fd.word_lengths),
+            quantized=np.asarray(fd.quantized),
+        )
+        _assert_same_decode(forced, 8)  # all-short overflows 8 -> fallback
+        _assert_same_decode(forced, fd.num_frames - 1)  # exact-capacity fit
+
+
+def test_decode_vmap_partitioned_hoisted_cond():
+    """The processor's stereo path: header-derived mode counts hoist the
+    overflow cond above the channel vmap; output must match the
+    compute-both graph byte for byte, fitting or not."""
+    from carta1_tpu.io.bitstream_np import pack_frames_fast
+    from carta1_tpu.processor import _broadcast_state_np, _decode_vmap_jit
+    from carta1_tpu.pipeline.decoder import decoder_init_state
+
+    fd, counts = _mixed_mode_fd()
+    units = pack_frames_fast(fd)
+    stacked = np.stack([units, units[::-1].copy()])  # 2 "channels"
+    state = _broadcast_state_np(decoder_init_state(), 2)
+    want_pcm, want_st = _decode_vmap_jit(False, None)(stacked, state)
+    for cap in (int(counts.max()) + 2, max(1, int(counts.max()) - 1)):
+        got_pcm, got_st = _decode_vmap_jit(False, cap)(stacked, state)
+        assert _bits_equal(got_pcm, want_pcm)
+        for k in want_st:
+            assert _bits_equal(got_st[k], want_st[k]), k
+
+
+# ---------------------------------------------------------------------------
 # Pallas transform core (ops/exact_fft_pallas): bitwise == the XLA path.
 # Interpreter mode — runs on the CPU test backend; the compiled TPU kernel
 # is pinned by the on-chip gate (verify_tpu.py / QUALITY_r*.json).

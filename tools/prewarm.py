@@ -56,7 +56,10 @@ def check() -> int:
         for name in sorted(os.listdir(PREWARM)) if os.path.isdir(PREWARM) else []:
             src = os.path.join(PREWARM, name)
             if os.path.isfile(src):
-                os.link(src, os.path.join(d, name))
+                try:
+                    os.link(src, os.path.join(d, name))
+                except OSError:  # tempdir on another fs (tmpfs): EXDEV
+                    shutil.copy2(src, os.path.join(d, name))
         before = set(os.listdir(d))
         _run_dryrun(d, seed=False)
         new = sorted(set(os.listdir(d)) - before)

@@ -44,6 +44,40 @@ def _signal_classes(n: int) -> dict[str, np.ndarray]:
     }
 
 
+# One canonical decode shape for the entire gate.  r4's gate compiled FOUR
+# distinct exact-decoder programs (fixture batch + three ad-hoc chunk
+# shapes), each a multi-minute cold compile — 587 s total (VERDICT r4 item
+# 6).  Every decode below runs in [DECODE_CHUNK]-frame chunks with state
+# carry instead (bit-identical by the pinned chunked==batched property),
+# so the gate pays ONE decode compile.  2048 also turns on the block-mode
+# partitioned IMDCT path (pipeline/decoder.auto_short_cap), putting the
+# r5 partition + its overflow cond under the on-chip bitwise contract.
+DECODE_CHUNK = 2048
+
+
+def _pad_fd(fd, mult: int):
+    """Pad FrameData to a multiple of `mult` frames with silent units.
+
+    Padding frames are part of the compared stream (gold decodes the same
+    padded FrameData), so every bitwise assertion still covers them."""
+    from carta1_tpu.framedata import FrameData
+
+    f = fd.num_frames
+    total = -(-f // mult) * mult
+    if total == f:
+        return fd
+    return FrameData.concatenate([fd.to_numpy(), FrameData.zeros(total - f)])
+
+
+def _device_decode_chunked(fd, decode_frames):
+    """Device decode in DECODE_CHUNK-frame chunks with stream-state carry."""
+    outs, state = [], None
+    for lo in range(0, fd.num_frames, DECODE_CHUNK):
+        p, state = decode_frames(fd[slice(lo, lo + DECODE_CHUNK)], state)
+        outs.append(np.asarray(p))
+    return np.concatenate(outs), state
+
+
 def _psnr(ref: np.ndarray, out: np.ndarray, delay: int = 266) -> float:
     x = ref[: len(out) - delay].astype(np.float64)
     y = out[delay : delay + len(x)].astype(np.float64)
@@ -76,10 +110,9 @@ def main() -> int:
     # ---- 1. golden fixture decode: bit-exact --------------------------------
     fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
     _, units = aea.read_aea(os.path.join(fixtures, "golden.aea"))
-    fd = unpack_frames(units)
+    fd = _pad_fd(unpack_frames(units), DECODE_CHUNK)
     t0 = time.time()
-    pcm, st = decode_frames(fd)
-    pcm = np.asarray(pcm)
+    pcm, st = _device_decode_chunked(fd, decode_frames)
     gpcm, gst = gold_decode_frames(fd)
     f32_mism = int((~((pcm.view(np.int32) == gpcm.view(np.int32)) | ((pcm == 0) & (gpcm == 0)))).sum())
     d16 = np.abs(
@@ -91,6 +124,7 @@ def main() -> int:
         "int16_max_diff": int(d16.max()),
         "stream_state_bitwise_equal": state_ok,
         "seconds": round(time.time() - t0, 1),
+        "decode_chunk": DECODE_CHUNK,
     }
     assert f32_mism == 0, "golden decode not f32-bitwise"
     assert int(d16.max()) == 0, "golden decode not int16-exact"
@@ -98,21 +132,19 @@ def main() -> int:
     print("golden decode: BIT-EXACT (f32 + int16 + state)", flush=True)
 
     # ---- 2. randomized stream, chunked decode with state carry --------------
+    # 3 * DECODE_CHUNK frames so real material (incl. transient bursts that
+    # land in the short-block partition) crosses two chunk boundaries with
+    # carried stream state — same single compiled decode shape as part 1
+    n2 = 3 * DECODE_CHUNK * 512
     rng = np.random.default_rng(99)
-    sig = np.clip(
-        0.4 * np.sin(2 * np.pi * 440 * np.arange(88200) / 44100.0)
-        + 0.2 * rng.standard_normal(88200),
-        -1,
-        1,
-    ).astype(np.float32)
+    sig = 0.4 * np.sin(2 * np.pi * 440 * np.arange(n2) / 44100.0) + 0.15 * rng.standard_normal(n2)
+    for pos in range(40960, n2 - 2048, 44100):  # scattered transients
+        sig[pos:pos + 256] += 0.5
+    sig = np.clip(sig, -1, 1).astype(np.float32)
     frames = pcm_to_frames(sig)
     fd2, _ = gold_encode_frames(frames)
     g2, _ = gold_decode_frames(fd2)
-    outs, state = [], None
-    for lo, hi in ((0, 59), (59, 140), (140, fd2.num_frames)):
-        p, state = decode_frames(fd2[slice(lo, hi)], state)
-        outs.append(np.asarray(p))
-    p2 = np.concatenate(outs)
+    p2, _ = _device_decode_chunked(fd2, decode_frames)
     mism2 = int((~((p2.view(np.int32) == g2.view(np.int32)) | ((p2 == 0) & (g2 == 0)))).sum())
     report["checks"]["random_stream_chunked"] = {"f32_bitwise_mismatches": mism2, "frames": int(fd2.num_frames)}
     assert mism2 == 0, "chunked random-stream decode not bitwise"
