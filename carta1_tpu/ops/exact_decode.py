@@ -341,20 +341,28 @@ def _use_pallas_imdct() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def imdct_exact(x: jnp.ndarray, size: int) -> jnp.ndarray:
+def imdct_exact(x: jnp.ndarray, size: int, mid: bool = False) -> jnp.ndarray:
     """[..., size/2] f32 spectra -> [..., size] f32, bit-identical to
     gold.transforms.imdct (mdct.js:139-211 with the reference scales).
 
     Dispatches to the VMEM-resident Pallas core on TPU
-    (ops/exact_fft_pallas.py) and the XLA formulation elsewhere."""
+    (ops/exact_fft_pallas.py) and the XLA formulation elsewhere.
+
+    `mid=True` returns only the middle half [size/4, 3*size/4) — the only
+    region the decoder's overlap assembly ever reads (decoder.js:203-303
+    copies windowStart..windowStart+size samples).  Implemented by slicing
+    the one-hot post-twiddle scatter matrix's ROWS at build time, so it is
+    a pure selection: the kept outputs are bit-identical to the full
+    transform's, and the discarded half never costs MXU work or an HBM
+    write (r5)."""
     if _use_pallas_imdct():
         from carta1_tpu.ops.exact_fft_pallas import imdct_exact_pallas
 
-        return imdct_exact_pallas(x, size)
-    return imdct_exact_xla(x, size)
+        return imdct_exact_pallas(x, size, mid=mid)
+    return imdct_exact_xla(x, size, mid=mid)
 
 
-def imdct_exact_xla(x: jnp.ndarray, size: int) -> jnp.ndarray:
+def imdct_exact_xla(x: jnp.ndarray, size: int, mid: bool = False) -> jnp.ndarray:
     """XLA formulation of the exact IMDCT (the CPU/test path).
 
     Internally position-major ([half, B]) so the batch axis stays in the
@@ -363,6 +371,8 @@ def imdct_exact_xla(x: jnp.ndarray, size: int) -> jnp.ndarray:
     assert x.shape[-1] == half
     fft_size = half >> 1
     cos_t, sin_t, p_t = _imdct_consts(size)
+    if mid:
+        p_t = p_t[size >> 2 : (3 * size) >> 2]
     ct_c = cos_t.reshape((fft_size, 1))
     ct_s = sin_t.reshape((fft_size, 1))
 
@@ -385,8 +395,8 @@ def imdct_exact_xla(x: jnp.ndarray, size: int) -> jnp.ndarray:
     imh, iml = split(im)
     r1 = _store(None, (1, _mul_terms(re, reh, rel, ct_c)), (1, _mul_terms(im, imh, iml, ct_s)))
     i1 = _store(None, (1, _mul_terms(re, reh, rel, ct_s)), (-1, _mul_terms(im, imh, iml, ct_c)))
-    out = fmatmul(p_t, jnp.concatenate([r1, i1], axis=0))   # [size, B]
-    return jnp.moveaxis(out, 0, -1).reshape(lead + (size,))
+    out = fmatmul(p_t, jnp.concatenate([r1, i1], axis=0))   # [size (or size/2), B]
+    return jnp.moveaxis(out, 0, -1).reshape(lead + (out.shape[0],))
 
 
 # ---------------------------------------------------------------------------
@@ -539,7 +549,7 @@ def _short_path_full(bands: list, nframes: int) -> list:
         ],
         axis=1,
     )                                                            # [F, 16, 32]
-    inv64 = imdct_exact(blocks, 64)[:, :, 16:48]                 # [F, 16, 32]
+    inv64 = imdct_exact(blocks, 64, mid=True)                    # [F, 16, 32]
     return [
         inv64[:, 0:4].reshape(nframes, 128),
         inv64[:, 4:8].reshape(nframes, 128),
@@ -589,7 +599,7 @@ def _short_path_partitioned(
         ],
         axis=1,
     )                                                            # [cap, 16, 32]
-    inv64 = imdct_exact(blocks, 64)[:, :, 16:48]                 # [cap, 16, 32]
+    inv64 = imdct_exact(blocks, 64, mid=True)                    # [cap, 16, 32]
     parts = [
         inv64[:, 0:4].reshape(cap, 128),
         inv64[:, 4:8].reshape(cap, 128),
@@ -638,9 +648,9 @@ def imdct_bands_exact(
     spec0 = bands[0]
     spec1 = jnp.flip(bands[1], axis=-1)
     spec2 = jnp.flip(bands[2], axis=-1)
-    inv01 = imdct_exact(jnp.stack([spec0, spec1], axis=0), 256)  # [2, F, 256]
-    inv2 = imdct_exact(spec2, 512)                               # [F, 512]
-    inv_long = [inv01[0][:, 64:192], inv01[1][:, 64:192], inv2[:, 128:384]]
+    inv01 = imdct_exact(jnp.stack([spec0, spec1], axis=0), 256, mid=True)  # [2, F, 128]
+    inv2 = imdct_exact(spec2, 512, mid=True)                               # [F, 256]
+    inv_long = [inv01[0], inv01[1], inv2]
 
     if short_cap is None or short_cap >= nframes:
         inv_short = _short_path_full(bands, nframes)

@@ -242,7 +242,7 @@ def _imdct_core_call(size: int, tile: int, nb: int, interpret: bool = False, vma
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_imdct(size: int, interpret: bool):
+def _batched_imdct(size: int, interpret: bool, mid: bool = False):
     """Per-size callable with a trivial vmap rule.
 
     The transform is independent per coefficient row, and _imdct_impl
@@ -254,7 +254,7 @@ def _batched_imdct(size: int, interpret: bool):
 
     @jax.custom_batching.custom_vmap
     def f(x):
-        return _imdct_impl(x, size, interpret)
+        return _imdct_impl(x, size, interpret, mid)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, x):  # noqa: ANN001
@@ -268,19 +268,27 @@ def _batched_imdct(size: int, interpret: bool):
     return f
 
 
-def imdct_exact_pallas(x: jnp.ndarray, size: int, interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for ops.exact_decode.imdct_exact: [..., size/2] -> [..., size],
-    bit-identical, with the transform core in one VMEM-resident kernel."""
-    return _batched_imdct(size, interpret)(x)
+def imdct_exact_pallas(
+    x: jnp.ndarray, size: int, interpret: bool = False, mid: bool = False
+) -> jnp.ndarray:
+    """Drop-in for ops.exact_decode.imdct_exact: [..., size/2] -> [..., size]
+    (middle half only with mid=True — see imdct_exact), bit-identical,
+    with the transform core in one VMEM-resident kernel."""
+    return _batched_imdct(size, interpret, mid)(x)
 
 
-def _imdct_impl(x: jnp.ndarray, size: int, interpret: bool = False) -> jnp.ndarray:
+def _imdct_impl(x: jnp.ndarray, size: int, interpret: bool = False, mid: bool = False) -> jnp.ndarray:
     from carta1_tpu.ops.exact_decode import _imdct_consts
 
     half = size >> 1
     assert x.shape[-1] == half
     pin, prepost, stages, _ = _kernel_consts(size)
     p_t = _imdct_consts(size)[2]  # post-twiddle scatter [size, half]
+    if mid:
+        # row selection only: the one-hot scatter keeps exactly the middle
+        # half, so kept outputs are bit-identical and the discarded half
+        # never costs MXU work or an HBM write
+        p_t = p_t[size >> 2 : (3 * size) >> 2]
 
     lead = x.shape[:-1]
     x2 = jnp.moveaxis(x.reshape(-1, half), 0, -1)   # [half, B]
@@ -302,7 +310,7 @@ def _imdct_impl(x: jnp.ndarray, size: int, interpret: bool = False) -> jnp.ndarr
     core = _imdct_core_call(size, tile, nb, interpret, _out_vma(xp))(
         xp, jnp.asarray(prepost), jnp.asarray(stages)
     )
-    out = fmatmul(jnp.asarray(p_t), core)            # [size, B+pad]
+    out = fmatmul(jnp.asarray(p_t), core)            # [size (or size/2), B+pad]
     if pad:
         out = out[:, :b]
-    return jnp.moveaxis(out, 0, -1).reshape(lead + (size,))
+    return jnp.moveaxis(out, 0, -1).reshape(lead + (out.shape[0],))

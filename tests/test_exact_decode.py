@@ -60,6 +60,16 @@ def test_imdct_exact_bitwise(size):
     assert _bits_equal(jax.jit(lambda v: imdct_exact(v, size))(x), imdct(x, size))
 
 
+@pytest.mark.parametrize("size", [64, 256, 512])
+def test_imdct_exact_mid_is_middle_half(size):
+    """mid=True must equal the full transform's [size/4, 3size/4) slice
+    bitwise (it is a row selection of the one-hot scatter, r5)."""
+    x = (rng.standard_normal((12, size // 2)) * 0.5).astype(np.float32)
+    full = jax.jit(lambda v: imdct_exact(v, size))(x)
+    midv = jax.jit(lambda v: imdct_exact(v, size, mid=True))(x)
+    assert _bits_equal(midv, np.asarray(full)[:, size // 4 : 3 * size // 4])
+
+
 def test_overlap_add_exact_bitwise():
     p = rng.standard_normal((200, 16)).astype(np.float32)
     c = rng.standard_normal((200, 16)).astype(np.float32)

@@ -28,7 +28,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 FRAMES = 8192
-STAGES = ["dequant", "imdct", "qmf", "decode"]
+# imdct / decode run the production configuration (block-mode partition at
+# auto_short_cap(FRAMES)); imdct_both is the r4 compute-both formulation,
+# kept as the in-artifact A/B for the r5 partition
+STAGES = ["dequant", "imdct", "imdct_both", "qmf", "decode"]
 
 
 def stage_chains(stage: str, n1: int, n2: int, frames: int = FRAMES) -> dict:
@@ -65,10 +68,11 @@ def stage_chains(stage: str, n1: int, n2: int, frames: int = FRAMES) -> dict:
             return acc + cksum(coeffs)
 
         args = [q, sf, wl, modes, nbfu]
-    elif stage == "imdct":
+    elif stage in ("imdct", "imdct_both"):
         # fixed coeffs input (host-built once via the CPU path is too slow;
         # build on device from the same fields, outside the timed program)
         from carta1_tpu.ops.coding import dequantize
+        from carta1_tpu.pipeline.decoder import auto_short_cap
 
         coeffs_host = np.asarray(
             jax.jit(lambda q, sf, wl, m, n: scatter_bfus(dequantize(q, sf, wl), m, n))(
@@ -77,10 +81,11 @@ def stage_chains(stage: str, n1: int, n2: int, frames: int = FRAMES) -> dict:
         )
         coeffs = jax.device_put(coeffs_host)
         tails = tuple(jnp.zeros(C.MDCT_TAIL_WINDOW_SIZE, jnp.float32) for _ in range(3))
+        cap = auto_short_cap(frames) if stage == "imdct" else None
 
         @functools.partial(hoisted_jit, donate_argnums=(2,))
         def step(coeffs, modes, acc):
-            outs, _ = X.imdct_bands_exact(coeffs, modes, tails)
+            outs, _ = X.imdct_bands_exact(coeffs, modes, tails, short_cap=cap)
             return acc + cksum(outs[0]) + cksum(outs[1]) + cksum(outs[2])
 
         args = [coeffs, modes]
@@ -102,13 +107,15 @@ def stage_chains(stage: str, n1: int, n2: int, frames: int = FRAMES) -> dict:
         args = [b0, b1, b2]
     elif stage == "decode":
         from carta1_tpu.framedata import FrameData
+        from carta1_tpu.pipeline.decoder import auto_short_cap
 
         fdd = FrameData(n_bfu=nbfu, block_modes=modes, scale_factors=sf, word_lengths=wl, quantized=q)
         state = decoder_init_state()
+        cap = auto_short_cap(frames)
 
         @functools.partial(hoisted_jit, donate_argnums=(1, 2))
         def step(fdd, state, acc):
-            pcm, state = decode_step(fdd, state)
+            pcm, state = decode_step(fdd, state, short_cap=cap)
             return acc + cksum(pcm), state
 
         args = [fdd, state]

@@ -141,9 +141,17 @@ def stage_chains(stage: str, n1: int, n2: int, frames: int = FRAMES) -> dict:
             decoder_init_state,
         )
 
-        fn = decode_step_fast if stage == "decode_fast" else decode_step
+        from carta1_tpu.pipeline.decoder import auto_short_cap
+
         fd_dev = _fd_to_device(_gold_fd(frames))
         state = decoder_init_state()
+        if stage == "decode_fast":
+            fn = decode_step_fast
+        else:
+            # production configuration: block-mode partitioned IMDCT (r5)
+            import functools as _ft
+
+            fn = _ft.partial(decode_step, short_cap=auto_short_cap(frames))
 
         @functools.partial(hoisted_jit, donate_argnums=(1, 2))
         def step(fd, state, acc):
