@@ -116,7 +116,7 @@ def _finish_copy(handle) -> np.ndarray:
     return np.asarray(handle[1])
 
 
-def fetch_many(arrays, k: int = 8, ahead: int | None = None):
+def fetch_many(arrays, k: int | None = None, ahead: int | None = None):
     """Ordered D2H of a sequence of device arrays, pipelined ACROSS arrays.
 
     ``fetch`` overlaps the k slice copies within one buffer, but a loop of
@@ -128,14 +128,19 @@ def fetch_many(arrays, k: int = 8, ahead: int | None = None):
     slice copies in flight while the current one is materialized and
     consumed, so the relay pipe stays busy through host-side writes.
 
-    `ahead` defaults to CARTA1_DRAIN_AHEAD or 1 (k in-flight slices from
-    the next buffer on top of the current one's tail — more outstanding
-    slices measured counterproductive on this relay, PERF.md "Relay
-    transfer pathology").  Yields numpy arrays in input order."""
-    if ahead is None:
-        import os
+    `k` / `ahead` default to CARTA1_DRAIN_K / CARTA1_DRAIN_AHEAD (8 / 2).
+    tools/drain_probe.py measured the (k, ahead) surface on the live
+    relay (r5): throughput is dominated by relay WEATHER, not shape —
+    1.8 to 62 MB/s for identical configs within one process over ~30 s;
+    with >= 8 slices in flight all shapes sit within noise of each other
+    in a steady window.  (8, 2) took the best fast-window sample.
+    Yields numpy arrays in input order."""
+    import os
 
-        ahead = int(os.environ.get("CARTA1_DRAIN_AHEAD", "1"))
+    if k is None:
+        k = int(os.environ.get("CARTA1_DRAIN_K", "8"))
+    if ahead is None:
+        ahead = int(os.environ.get("CARTA1_DRAIN_AHEAD", "2"))
     arrays = list(arrays)
     n = len(arrays)
     handles: dict[int, tuple] = {}
