@@ -15,7 +15,7 @@ never compiles the encode program.
 
 Usage:
   python tools/profile_stages.py                 # orchestrate, print table,
-                                                 # write PROFILE_r04.json
+                                                 # write PROFILE_r05.json
   python tools/profile_stages.py --stage encode  # one stage, prints JSON
 """
 
@@ -224,7 +224,7 @@ def main(n1: int, n2: int, stages: list[str]) -> None:
         print(f"{stage:12s} {r}", flush=True)
 
     out = {"frames_per_call": FRAMES, "stages": results}
-    path = os.path.join(REPO, "PROFILE_r04.json")
+    path = os.path.join(REPO, "PROFILE_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
