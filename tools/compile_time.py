@@ -106,6 +106,9 @@ def main() -> int:
                 env = dict(os.environ)
                 env["CARTA1_JAX_CACHE"] = d
                 env["CARTA1_NO_PREWARM_SEED"] = "1"
+                # running by script path puts tools/ (not the repo) on
+                # sys.path — the child needs the package importable
+                env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--child", prog],
                     capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
