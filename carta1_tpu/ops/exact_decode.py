@@ -633,12 +633,16 @@ def imdct_bands_exact(
 
     `short_cap` (static) partitions the short path by block mode: only a
     [cap]-frame bucket pays the 16 imdct64 transforms instead of all F
-    frames (_short_path_partitioned).  None = compute-both+select.  With
-    `assume_fits=False` an in-graph lax.cond falls back to the full short
-    path whenever any band's short count exceeds cap, so the output is
-    bit-identical for EVERY input; `assume_fits=True` skips the cond (for
-    callers under vmap, where cond degenerates to both-branches-executed)
-    and requires the caller to have verified the counts."""
+    frames (_short_path_partitioned).  None = compute-both+select.  An
+    int is one capacity; a TUPLE of ints is a capacity ladder (r5): the
+    in-graph conds pick the smallest tier that fits the chunk's short
+    counts, so typical material (shorts ~1%) pays a tiny bucket while
+    percussive material still gets a partitioned tier before the
+    compute-both fallback.  With `assume_fits=False` the final fallback
+    is the full short path, so the output is bit-identical for EVERY
+    input; `assume_fits=True` skips the conds (for callers under vmap,
+    where cond degenerates to both-branches-executed), uses the FIRST
+    tier, and requires the caller to have verified the counts."""
     nframes = coeffs.shape[0]
     t = C.MDCT_TAIL_WINDOW_SIZE
     sizes = C.MDCT_BAND_SIZES  # (128, 128, 256)
@@ -652,21 +656,29 @@ def imdct_bands_exact(
     inv2 = imdct_exact(spec2, 512, mid=True)                               # [F, 256]
     inv_long = [inv01[0], inv01[1], inv2]
 
-    if short_cap is None or short_cap >= nframes:
+    caps = short_cap if isinstance(short_cap, tuple) else (
+        () if short_cap is None else (short_cap,)
+    )
+    caps = tuple(sorted({c for c in caps if 0 < c < nframes}))
+    if not caps:
         inv_short = _short_path_full(bands, nframes)
     else:
         is_short = modes != 0                                    # [F, 3]
         if assume_fits:
-            inv_short = _short_path_partitioned(bands, is_short, nframes, short_cap)
+            inv_short = _short_path_partitioned(bands, is_short, nframes, caps[0])
         else:
-            overflow = jnp.any(
-                jnp.sum(is_short, axis=0, dtype=jnp.int32) > short_cap
-            )
-            inv_short = jax.lax.cond(
-                overflow,
-                lambda: _short_path_full(bands, nframes),
-                lambda: _short_path_partitioned(bands, is_short, nframes, short_cap),
-            )
+            max_count = jnp.max(jnp.sum(is_short, axis=0, dtype=jnp.int32))
+
+            def _select(i: int):
+                if i == len(caps):
+                    return _short_path_full(bands, nframes)
+                return jax.lax.cond(
+                    max_count <= caps[i],
+                    lambda: _short_path_partitioned(bands, is_short, nframes, caps[i]),
+                    lambda: _select(i + 1),
+                )
+
+            inv_short = _select(0)
 
     inv_bufs, tails, prev_tails = [], [], []
     for b in range(3):

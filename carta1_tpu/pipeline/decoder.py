@@ -45,7 +45,7 @@ def decoder_init_state() -> dict[str, jnp.ndarray]:
 def decode_step(
     fd: FrameData,
     state: dict,
-    short_cap: int | None = None,
+    short_cap: int | tuple | None = None,
     assume_fits: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """Bit-exact batched decode: FrameData -> (pcm [F, 512], state).
@@ -56,10 +56,12 @@ def decode_step(
     `short_cap` (static) enables block-mode partitioning of the IMDCT
     stage: only a [cap]-frame compacted bucket pays the short-block
     transforms (the reference's own long/short dispatch,
-    decoder.js:175-306).  Bit-identical output for every input — with
-    assume_fits=False an in-graph cond falls back to compute-both when a
-    band's short count exceeds cap; assume_fits=True is for callers that
-    hoist that check above a vmap (see ops/exact_decode.imdct_bands_exact)."""
+    decoder.js:175-306).  An int is one capacity; a tuple is a capacity
+    ladder whose in-graph conds pick the smallest fitting tier (r5).
+    Bit-identical output for every input — with assume_fits=False the
+    final fallback is compute-both when a band's short count exceeds the
+    largest cap; assume_fits=True is for callers that hoist that check
+    above a vmap (see ops/exact_decode.imdct_bands_exact)."""
     deq = X.dequantize_exact(fd.quantized, fd.scale_factors, fd.word_lengths)
     coeffs = scatter_bfus(deq, fd.block_modes, fd.n_bfu)  # [F, 512]
 
@@ -119,21 +121,28 @@ _decode_jit = jax.jit(decode_step, static_argnames=("short_cap", "assume_fits"))
 _decode_fast_jit = jax.jit(decode_step_fast)
 
 
-def auto_short_cap(nframes: int) -> int | None:
-    """Default block-mode partition capacity for an F-frame decode batch.
+def auto_short_cap(nframes: int) -> int | tuple | None:
+    """Default block-mode partition capacities for an F-frame decode batch.
 
-    F/8 (rounded up to a 128-lane tile), i.e. the partitioned path assumes
-    <= 12.5% transient frames per band and falls back in-graph above that.
+    A two-tier ladder (F/32, F/8), each rounded up to a 128-lane tile:
+    typical material (~1% transient frames per band on the bench and
+    noise signals, measured r5) fits the small tier — worth ~+3% headline
+    over a single F/8 cap — while percussion-dense material (a click
+    every 8 frames measures ~12.5% shorts per band) still gets the F/8
+    partitioned tier before the in-graph compute-both fallback.
     Small batches keep compute-both — the bucket matmuls wouldn't pay for
     themselves, and tests with tiny F should exercise the default path.
-    CARTA1_SHORT_CAP=0 disables partitioning; =N forces a capacity."""
+    CARTA1_SHORT_CAP=0 disables partitioning; =N forces one capacity;
+    a comma list (e.g. "256,1024") forces a ladder."""
     env = os.environ.get("CARTA1_SHORT_CAP")
     if env is not None:
-        n = int(env)
-        return None if n <= 0 else min(n, nframes)
+        caps = tuple(sorted({min(int(s), nframes) for s in env.split(",") if int(s) > 0}))
+        return caps if len(caps) > 1 else (caps[0] if caps else None)
     if nframes < 2048:
         return None
-    return min(nframes, -(-(nframes // 8) // 128) * 128)
+    tile = lambda n: min(nframes, -(-n // 128) * 128)  # noqa: E731
+    lo, hi = tile(nframes // 32), tile(nframes // 8)
+    return (lo, hi) if lo < hi else hi
 
 
 def decode_frames(fd: FrameData, state: dict | None = None, fast: bool = False) -> tuple[jnp.ndarray, dict]:

@@ -81,12 +81,13 @@ def _decode_vmap_jit(to_i16=False, short_cap=None):
     decoded stream crosses the relay at 2 bytes/sample.
 
     short_cap enables block-mode partitioning of the IMDCT stage
-    (ops/exact_decode._short_path_partitioned).  Under vmap lax.cond
-    degenerates to both-branches-executed, so the fits-in-cap check is
-    hoisted HERE, above the channel vmap: block modes are read straight
-    from each unit's 16-bit header (serialization.js:46-53 — the same
-    bits ops/bitpack.unpack_frames decodes) and one cond picks the
-    partitioned or the compute-both graph for the whole chunk."""
+    (ops/exact_decode._short_path_partitioned); an int is one capacity, a
+    tuple a capacity ladder (r5).  Under vmap lax.cond degenerates to
+    both-branches-executed, so the fits-in-cap check is hoisted HERE,
+    above the channel vmap: block modes are read straight from each
+    unit's 16-bit header (serialization.js:46-53 — the same bits
+    ops/bitpack.unpack_frames decodes) and nested conds pick the smallest
+    fitting partitioned graph — or compute-both — for the whole chunk."""
     import jax
     import jax.numpy as jnp
 
@@ -106,10 +107,14 @@ def _decode_vmap_jit(to_i16=False, short_cap=None):
 
         return jax.vmap(f)
 
-    if short_cap is None:
+    caps = short_cap if isinstance(short_cap, tuple) else (
+        () if short_cap is None else (short_cap,)
+    )
+    caps = tuple(sorted({c for c in caps if c > 0}))
+    if not caps:
         return hoisted_jit(one(None))
 
-    part, full = one(short_cap), one(None)
+    parts, full = [one(c) for c in caps], one(None)
 
     def dispatch(units, s):
         # units [C, F, 212]: header halfword = (b0 << 8) | b1; a band is
@@ -123,8 +128,18 @@ def _decode_vmap_jit(to_i16=False, short_cap=None):
             ],
             axis=-1,
         )                                                # [C, F, 3]
-        counts = jnp.sum(is_short, axis=1, dtype=jnp.int32)  # [C, 3]
-        return jax.lax.cond(jnp.any(counts > short_cap), full, part, units, s)
+        max_count = jnp.max(jnp.sum(is_short, axis=1, dtype=jnp.int32))
+
+        def _select(i: int):
+            if i == len(caps):
+                return full(units, s)
+            return jax.lax.cond(
+                max_count <= caps[i],
+                lambda: parts[i](units, s),
+                lambda: _select(i + 1),
+            )
+
+        return _select(0)
 
     return hoisted_jit(dispatch)
 

@@ -217,6 +217,52 @@ def test_decode_vmap_partitioned_hoisted_cond():
             assert _bits_equal(got_st[k], want_st[k]), k
 
 
+def _forced_short_counts(fd, k):
+    """fd with the first k frames short-mode in every band, the rest long
+    (modes are plain input data to the decoder, so forcing them only
+    changes which IMDCT path interprets the same coefficients)."""
+    modes = np.zeros((fd.num_frames, 3), np.int32)
+    modes[:k] = [2, 2, 3]
+    return FrameData(
+        n_bfu=np.asarray(fd.n_bfu),
+        block_modes=modes,
+        scale_factors=np.asarray(fd.scale_factors),
+        word_lengths=np.asarray(fd.word_lengths),
+        quantized=np.asarray(fd.quantized),
+    )
+
+
+def test_decode_partitioned_capacity_ladder():
+    """Tuple short_cap (r5): ONE (4, 16) ladder program, three inputs that
+    land in the small tier / the large tier / the compute-both fallback —
+    all bitwise identical to the unpartitioned decode."""
+    fd, _ = _mixed_mode_fd(nframes=48)
+    for k in (3, 11, 20):  # <=4 / <=16 / overflow
+        _assert_same_decode(_forced_short_counts(fd, k), (4, 16))
+    # assume_fits with a ladder uses the first (smallest) tier
+    _assert_same_decode(_forced_short_counts(fd, 3), (4, 16), assume_fits=True)
+
+
+def test_decode_vmap_partitioned_ladder():
+    """The processor's stereo path with a capacity ladder: ONE hoisted
+    nested-cond program, inputs landing in each tier, all matching the
+    compute-both graph byte for byte."""
+    from carta1_tpu.io.bitstream_np import pack_frames_fast
+    from carta1_tpu.processor import _broadcast_state_np, _decode_vmap_jit
+    from carta1_tpu.pipeline.decoder import decoder_init_state
+
+    fd, _ = _mixed_mode_fd(nframes=48)
+    state = _broadcast_state_np(decoder_init_state(), 2)
+    for k in (3, 11, 20):
+        units = pack_frames_fast(_forced_short_counts(fd, k))
+        stacked = np.stack([units, units[::-1].copy()])
+        want_pcm, want_st = _decode_vmap_jit(False, None)(stacked, state)
+        got_pcm, got_st = _decode_vmap_jit(False, (4, 16))(stacked, state)
+        assert _bits_equal(got_pcm, want_pcm)
+        for k2 in want_st:
+            assert _bits_equal(got_st[k2], want_st[k2]), k2
+
+
 # ---------------------------------------------------------------------------
 # Pallas transform core (ops/exact_fft_pallas): bitwise == the XLA path.
 # Interpreter mode — runs on the CPU test backend; the compiled TPU kernel

@@ -13,7 +13,7 @@ Programs measured (the two biggest cold-start costs a fresh machine pays):
   * encode      — the [2, 8192]-frame vmapped default-allocator encode +
                   in-graph pack (the corpus/file program shape)
   * decode      — the [8192]-frame bit-exact decoder with the r5
-                  block-mode partition (short_cap=1024, in-graph cond)
+                  block-mode partition (capacity ladder, in-graph conds)
   * decode_r4   — same decoder, compute-both formulation (short_cap=None):
                   isolates what the r5 partition cond costs at compile time
 
